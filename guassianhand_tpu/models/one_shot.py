@@ -1,0 +1,222 @@
+"""One-shot hand-avatar model: the full TGS composition.
+
+TPU-native counterpart of the reference ``TGS`` module and its ``_forward``
+(infer_one_shot.py:41-311). Data flow (infer_one_shot.py:196-291):
+
+  camera feats = MLP(25->768)([K_normed.flat, c2w.flat])
+  pose feats   = MLP(96->768)(two-hand MANO pose)
+  uv           = project points onto the UV atlas; normalize to [-1,1]
+  id_vert      = sample identity_code plane at uv                     (33)
+  enc_texture  = LocalPoolPointnet([uv, PE(uv), id_vert])             (53 ch)
+  inter_mask   = kNN interaction detector (posed vs T-pose)
+  enc_shade    = LocalPoolPointnet([uv, PE(uv), xyz, PE(xyz), mask,
+                                    pose_feats, camera_feats])        (1587 ch)
+  tokens_*     = triplane tokenizer(+cond); 10-layer transformers
+  tokens       = texture + shade; detokenize; upsample; two planes packed
+                 side-by-side; + map_bias                  -> scene codes
+  additional   = MLP(852->51)([uv, PE(uv), xyz, PE(xyz), mask, id_vert, pose])
+  hidden       = sample scene codes at uv (80) ++ additional (51) = 131
+  hidden       = interaction self-attention on interacting Gaussians
+  render       = GSRenderer (validity/densify, appearance residuals, views)
+
+Per-identity trainable parameters (the only ones optimized during one-shot
+fitting, infer_one_shot.py:151-163 + 340-343): identity codes, map_bias,
+color_w/color_b, xyz_b(+map), opacity_b.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from guassianhand_tpu.nn.heads import AdditionalFeaturesFC, SelfAttn
+from guassianhand_tpu.nn.mlp import MLP
+from guassianhand_tpu.nn.pointnet import LocalPoolPointnet
+from guassianhand_tpu.nn.spatial import positional_encoding
+from guassianhand_tpu.nn.tokenizers import (TriplaneLearnablePositionalEmbedding,
+                                            TriplaneUpsampler)
+from guassianhand_tpu.nn.transformer import Transformer1D
+from guassianhand_tpu.ops.grid_sample import grid_sample_batched
+from guassianhand_tpu.render.renderer import EditConfig, GSRenderer, RendererConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class OneShotConfig:
+    # embedding dims (config_one_shot.yaml:15-29)
+    camera_embed_dim: int = 768
+    pose_embed_dim: int = 768
+    pe_levels: int = 4
+    # tokenizer / backbone (yaml:49-96)
+    plane_size: int = 32
+    token_channels: int = 512
+    n_plane: int = 2
+    backbone_layers: int = 10
+    backbone_heads: int = 8
+    backbone_head_dim: int = 64
+    scene_code_channels: int = 80
+    # identity code plane (infer_one_shot.py:151-152)
+    identity_channels: int = 33
+    identity_book_size: int = 27
+    # appearance residual maps (infer_one_shot.py:159-163); the reference uses
+    # 1024 x 2048 — configurable so tests can shrink it
+    residual_map_hw: tuple = (1024, 2048)
+    additional_feature_dim: int = 51
+    interaction_k: int = 100
+    interaction_threshold: int = 10
+    renderer: RendererConfig = RendererConfig()
+
+
+class OneShotAvatarModel(nn.Module):
+    cfg: OneShotConfig = OneShotConfig()
+
+    def setup(self):
+        c = self.cfg
+        self.camera_embedder = MLP(dim_out=c.camera_embed_dim,
+                                   n_neurons=c.camera_embed_dim,
+                                   n_hidden_layers=1, activation="silu")
+        self.pose_embedder = MLP(dim_out=c.pose_embed_dim,
+                                 n_neurons=c.pose_embed_dim,
+                                 n_hidden_layers=1, activation="silu")
+        self.point_encoder_texture = LocalPoolPointnet(
+            c_dim=c.token_channels, plane_size=c.plane_size)
+        self.point_encoder_shade = LocalPoolPointnet(
+            c_dim=c.token_channels, plane_size=c.plane_size)
+        self.tokenizer_texture = TriplaneLearnablePositionalEmbedding(
+            plane_size=c.plane_size, num_channels=c.token_channels,
+            n_plane=c.n_plane)
+        self.tokenizer_shade = TriplaneLearnablePositionalEmbedding(
+            plane_size=c.plane_size, num_channels=c.token_channels,
+            n_plane=c.n_plane)
+        self.backbone = Transformer1D(
+            num_layers=c.backbone_layers, heads=c.backbone_heads,
+            head_dim=c.backbone_head_dim)
+        self.backbone_shade = Transformer1D(
+            num_layers=c.backbone_layers, heads=c.backbone_heads,
+            head_dim=c.backbone_head_dim)
+        self.post_processor_texture = TriplaneUpsampler(
+            out_channels=c.scene_code_channels)
+        self.additional_features_fc = AdditionalFeaturesFC(
+            out_dim=c.additional_feature_dim)
+        self.self_attn_layer = SelfAttn()
+        self.renderer = GSRenderer(cfg=c.renderer)
+
+        s = c.plane_size
+        zeros = nn.initializers.zeros
+        mh, mw = c.residual_map_hw
+        # per-identity learnables (infer_one_shot.py:151-163)
+        self.identity_code_one_shot = self.param(
+            "identity_code_one_shot", zeros,
+            (1, c.identity_channels, 2 * s, 4 * s))
+        self.identity_code_book = self.param(
+            "identity_code_book",
+            lambda key, shape: jnp.clip(
+                0.02 * jax.random.normal(key, shape), -1.0, 1.0),
+            (c.identity_book_size, c.identity_channels, 2 * s, 4 * s))
+        self.map_bias = self.param(
+            "map_bias", zeros, (c.scene_code_channels, 2 * s, 4 * s))
+        self.color_w = self.param("color_w", nn.initializers.ones, (48,))
+        self.color_b = self.param("color_b", zeros, (48, mh, mw))
+        self.xyz_b = self.param("xyz_b", zeros, (3,))
+        self.xyz_b_map = self.param("xyz_b_map", zeros, (3, mh, mw))
+        self.opacity_b = self.param("opacity_b", zeros, (1, mh, mw))
+
+    def scene_codes(self, batch_size, uv_n, uv_pe, id_vert, shade_in):
+        """Build the (B, C80, 2S, 4S) scene-code plane."""
+        c = self.cfg
+        tex_in = jnp.concatenate([uv_n, uv_pe, id_vert], axis=-1)
+        cond_tex = self.point_encoder_texture(tex_in)     # (B, 512, S, S)
+        cond_shade = self.point_encoder_shade(shade_in)
+
+        tokens_tex = self.tokenizer_texture(cond_tex)     # (B, 512, 2*S*S)
+        tokens_shade = self.tokenizer_shade(cond_shade)
+        tokens_tex = self.backbone(tokens_tex)
+        tokens_shade = self.backbone_shade(tokens_shade)
+        tokens = tokens_tex + tokens_shade
+
+        planes = self.tokenizer_texture.detokenize(tokens)  # (B,2,512,S,S)
+        planes = self.post_processor_texture(planes)        # (B,2,80,2S,2S)
+        # two planes packed side-by-side along W (infer_one_shot.py:270)
+        codes = jnp.concatenate([planes[:, 0], planes[:, 1]], axis=-1)
+        # += tiled map_bias (left half duplicated, infer_one_shot.py:271)
+        s2 = 2 * c.plane_size
+        mb = jnp.concatenate([self.map_bias[..., :s2],
+                              self.map_bias[..., :s2]], axis=-1)
+        return codes + mb[None]
+
+    def __call__(self, batch: Dict[str, Any],
+                 edit: EditConfig = EditConfig(),
+                 identity_from_book: Optional[int] = None) -> Dict[str, Any]:
+        """batch (all batched over B):
+          points        (B, N, 3)   posed query points (subdivided MANO verts)
+          points_tar    (B, N, 3)   target-pose points (defaults to points)
+          vert_uv       (B, N, 2)   packed-atlas UVs of the query points
+          inter_mask    (B, N)      bool interaction mask (ops.knn.interaction_mask)
+          mano_pose     (B, 96)     two-hand pose vector
+          c2w           (B, 4, 4), intrinsic_normed (B, 3, 3)
+          w2c_render    (B, V, 4, 4), K_render (B, V, 3/4, 3/4)
+          background    (B, 3)
+          height, width static ints (passed via self.apply kwargs)
+        """
+        c = self.cfg
+        points = batch["points"]
+        b, n, _ = points.shape
+        height = batch["height"]
+        width = batch["width"]
+
+        cam_in = jnp.concatenate(
+            [batch["intrinsic_normed"].reshape(b, -1),
+             batch["c2w"].reshape(b, -1)], axis=-1)
+        camera_feats = self.camera_embedder(cam_in)       # (B, 768)
+        pose_feats = self.pose_embedder(
+            batch["mano_pose"].reshape(b, -1))            # (B, 768)
+
+        uv = batch["vert_uv"]
+        # normalize packed uv to [-1, 1] (infer_one_shot.py:238-239)
+        uv_n = jnp.stack([2.0 * uv[..., 0] - 1.0,
+                          2.0 * (uv[..., 1] / 0.5) - 1.0], axis=-1)
+        uv_pe = positional_encoding(uv_n, c.pe_levels)    # (B, N, 18)
+        xyz_pe = positional_encoding(points, c.pe_levels)  # (B, N, 27)
+
+        id_plane = self.identity_code_one_shot
+        if identity_from_book is not None:
+            id_plane = self.identity_code_book[identity_from_book][None]
+        id_plane_b = jnp.broadcast_to(id_plane, (b, *id_plane.shape[1:]))
+        id_vert = grid_sample_batched(id_plane_b, uv_n)   # (B, N, 33)
+
+        inter = batch["inter_mask"].astype(jnp.float32)[..., None]
+        shade_in = jnp.concatenate(
+            [uv_n, uv_pe, points, xyz_pe, inter,
+             jnp.broadcast_to(pose_feats[:, None], (b, n, pose_feats.shape[-1])),
+             jnp.broadcast_to(camera_feats[:, None], (b, n, camera_feats.shape[-1]))],
+            axis=-1)  # (B, N, 1587)
+
+        codes = self.scene_codes(b, uv_n, uv_pe, id_vert, shade_in)
+
+        add_in = jnp.concatenate(
+            [uv_n, uv_pe, points, xyz_pe, inter, id_vert,
+             jnp.broadcast_to(pose_feats[:, None], (b, n, pose_feats.shape[-1]))],
+            axis=-1)  # (B, N, 852)
+        additional = self.additional_features_fc(add_in)  # (B, N, 51)
+
+        hidden_tex = grid_sample_batched(codes, uv_n)     # (B, N, 80)
+        hidden = jnp.concatenate([hidden_tex, additional], axis=-1)  # (B,N,131)
+
+        hidden = self.self_attn_layer(hidden, mask=batch["inter_mask"])
+
+        query_points = batch.get("points_tar", points)
+
+        def render_one(feats, pts, vuv, w2cs, Ks, bg):
+            return self.renderer(
+                feats, pts, vuv, w2cs, Ks, height=height, width=width,
+                background=bg, color_w=self.color_w, xyz_b=self.xyz_b,
+                color_b_map=self.color_b, opacity_b_map=self.opacity_b,
+                edit=edit)
+
+        out = jax.vmap(render_one)(
+            hidden, query_points, uv, batch["w2c_render"], batch["K_render"],
+            batch.get("background", jnp.zeros((b, 3))))
+        out["points"] = points
+        return out

@@ -1,0 +1,158 @@
+"""Per-Gaussian decode heads and interaction attention.
+
+Counterparts of:
+- GSLayer (tgs/models/renderer_one_shot.py:156-214): per-key linear heads with
+  the reference's exact activations and initializations (zero weights; scaling
+  bias init -5 -> trunc_exp; rotation bias (1,0,0,0) -> normalize; opacity bias
+  inverse_sigmoid(0.1) -> sigmoid; xyz sigmoid-bounded offset +-1.2/32*0.5;
+  rgb sigmoid when use_rgb).
+- vert_valid / vert_pos_refinement (tgs/models/verts_refinement.py:35-83).
+- additional_features_fc (verts_refinement.py:119-131).
+- SelfAttn interaction attention (tgs/models/self_attn.py:36-85).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from guassianhand_tpu.core.gaussians import Gaussians
+from guassianhand_tpu.nn.mlp import MLPBlock, MLPResBlock
+
+
+def inverse_sigmoid(x: float) -> float:
+    return math.log(x / (1.0 - x))
+
+
+def trunc_exp(x, cap: float = 15.0):
+    """exp with clipped input — same saturation guard as the reference's
+    trunc_exp custom autograd fn (tgs/utils/ops.py)."""
+    return jnp.exp(jnp.clip(x, -cap, cap))
+
+
+class GSLayer(nn.Module):
+    sh_degree: int = 3
+    use_rgb: bool = True
+    xyz_offset: bool = True
+    restrict_offset: bool = True
+    clip_scaling: Optional[float] = None
+    init_scaling: float = -5.0
+    init_density: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jax.Array, pts: jax.Array) -> Gaussians:
+        """x: (N, C) hidden features; pts: (N, 3) query points."""
+        zeros = nn.initializers.zeros
+
+        def head(name, out, bias_init):
+            return nn.Dense(out, kernel_init=zeros,
+                            bias_init=bias_init, name=name)
+
+        xyz = head("xyz", 3, zeros)(x)
+        if self.restrict_offset:
+            max_step = 1.2 / 32.0
+            xyz = (nn.sigmoid(xyz) - 0.5) * max_step
+        xyz = xyz + pts if self.xyz_offset else pts
+
+        scaling = trunc_exp(head(
+            "scaling", 3,
+            nn.initializers.constant(self.init_scaling))(x))
+        if self.clip_scaling is not None:
+            scaling = jnp.clip(scaling, 0.0, self.clip_scaling)
+
+        def quat_bias(key, shape, dtype=jnp.float32):
+            return jnp.array([1.0, 0.0, 0.0, 0.0], dtype)
+
+        rotation = head("rotation", 4, quat_bias)(x)
+        rotation = rotation / jnp.maximum(
+            jnp.linalg.norm(rotation, axis=-1, keepdims=True), 1e-12)
+
+        opacity = nn.sigmoid(head(
+            "opacity", 1,
+            nn.initializers.constant(inverse_sigmoid(self.init_density)))(x))
+
+        if self.use_rgb:
+            shs = nn.Dense(3, name="shs")(x)  # default (non-zero) init, as ref
+            shs = nn.sigmoid(shs).reshape(x.shape[0], 1, 3)
+        else:
+            k = (self.sh_degree + 1) ** 2
+            shs = head("shs", k * 3, zeros)(x).reshape(x.shape[0], k, 3)
+
+        return Gaussians(xyz=xyz, opacity=opacity, rotation=rotation,
+                         scaling=scaling, shs=shs)
+
+
+class VertValid(nn.Module):
+    """Per-point validity score in (0, 1) (verts_refinement.py:61-83)."""
+
+    @nn.compact
+    def __call__(self, feats, pts):
+        h = jnp.concatenate([feats, pts], axis=-1)
+        h = MLPBlock(hid_dim=h.shape[-1] // 4)(h)
+        return nn.sigmoid(nn.Dense(1)(h))
+
+
+class VertPosRefinement(nn.Module):
+    """Bounded position refinement, tanh * radius (verts_refinement.py:35-59).
+
+    As in the reference, the base position is detached — gradients flow only
+    into the offset MLP.
+    """
+
+    radius: float = 0.001
+
+    @nn.compact
+    def __call__(self, feats, pts):
+        h = jnp.concatenate([feats, pts], axis=-1)
+        h = MLPBlock(hid_dim=h.shape[-1] // 4)(h)
+        bias = jnp.tanh(nn.Dense(3)(h)) * self.radius
+        return jax.lax.stop_gradient(pts) + bias
+
+
+class AdditionalFeaturesFC(nn.Module):
+    out_dim: int = 51
+
+    @nn.compact
+    def __call__(self, x):
+        return MLPBlock(hid_dim=self.out_dim)(x)
+
+
+class SelfAttn(nn.Module):
+    """Interaction self-attention over Gaussian features (self_attn.py:36-85).
+
+    Accepts an optional boolean mask (True = participates). Unlike the
+    reference — which boolean-indexes the interacting subset and, above 30k
+    points, falls back to 8 sequential chunks (renderer_one_shot.py:554-574) —
+    we keep static shapes and mask the attention weights, which the TPU
+    parallelizes fully; masked rows pass through unchanged.
+    """
+
+    n_heads: int = 4
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        b, n, f = x.shape
+        d = f // self.n_heads
+        x_in = x
+
+        h = nn.LayerNorm(epsilon=1e-6)(x)
+        q = nn.Dense(self.n_heads * d)(h).reshape(b, n, self.n_heads, d)
+        k = nn.Dense(self.n_heads * d)(h).reshape(b, n, self.n_heads, d)
+        v = nn.Dense(self.n_heads * d)(h).reshape(b, n, self.n_heads, d)
+        if mask is not None:
+            attn_mask = (mask[:, None, None, :] & mask[:, None, :, None])
+            o = nn.dot_product_attention(q, k, v, mask=attn_mask)
+        else:
+            o = nn.dot_product_attention(q, k, v)
+        o = nn.Dense(f)(o.reshape(b, n, f))
+        x = x + o
+        x = MLPResBlock(hid_dim=f)(x)
+        if mask is not None:
+            # Non-interacting rows keep their input features, matching the
+            # reference's boolean-indexed in-place update.
+            return jnp.where(mask[..., None], x, x_in)
+        return x

@@ -1,0 +1,123 @@
+"""Token transformer backbone.
+
+TPU-native counterpart of the reference ``Transformer1D``
+(tgs/models/transformers.py:673-908) with the diffusers ``BasicTransformerBlock``
+(:138-397) under the one-shot config (config_one_shot.yaml:61-85):
+
+- channels-first tokens (B, C, N): GroupNorm -> proj_in -> blocks -> proj_out
+  -> +residual
+- each block: [self-attention, second attention (configured with a
+  cross-attention dim but called with no encoder states, so it degenerates to
+  self-attention — reproduced faithfully), GEGLU feed-forward], all pre-LN
+- optional AdaLN-continuous modulation per block when ``modulation_dim`` is
+  set (transformers.py:549-570); the one-shot config uses plain layer_norm so
+  the conditioning enters through the tokenizer's point-encoder features
+  instead.
+
+Attention uses jax dot-product attention on (B, N, H, D) — XLA fuses this into
+MXU-friendly batched matmuls; sequence length is 2048 triplane tokens.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class GEGLU(nn.Module):
+    dim_out: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.dim_out * 2)(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        return h * nn.gelu(gate)
+
+
+class FeedForward(nn.Module):
+    mult: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        h = GEGLU(dim * self.mult)(x)
+        return nn.Dense(dim)(h)
+
+
+class Attention(nn.Module):
+    heads: int
+    head_dim: int
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        context = x if context is None else context
+        inner = self.heads * self.head_dim
+        q = nn.Dense(inner, use_bias=False)(x)
+        k = nn.Dense(inner, use_bias=False)(context)
+        v = nn.Dense(inner, use_bias=False)(context)
+
+        def split(t):
+            return t.reshape(*t.shape[:-1], self.heads, self.head_dim)
+
+        o = nn.dot_product_attention(split(q), split(k), split(v))
+        o = o.reshape(*x.shape[:-1], inner)
+        return nn.Dense(inner)(o)
+
+
+class AdaLayerNormContinuous(nn.Module):
+    """LayerNorm modulated by a condition vector (transformers.py:549-570)."""
+
+    @nn.compact
+    def __call__(self, x, cond):
+        emb = nn.Dense(cond.shape[-1])(cond)
+        emb = nn.Dense(x.shape[-1] * 2)(nn.silu(emb))
+        scale, shift = jnp.split(emb, 2, axis=-1)
+        h = nn.LayerNorm(use_bias=False, use_scale=False)(x)
+        return h * (1.0 + scale[..., None, :]) + shift[..., None, :]
+
+
+class TransformerBlock(nn.Module):
+    heads: int
+    head_dim: int
+    modulation_dim: Optional[int] = None
+
+    def _norm(self, x, cond, name):
+        if self.modulation_dim is not None and cond is not None:
+            return AdaLayerNormContinuous(name=name)(x, cond)
+        return nn.LayerNorm(name=name)(x)
+
+    @nn.compact
+    def __call__(self, x, cond=None, context=None):
+        h = self._norm(x, cond, "norm1")
+        x = x + Attention(self.heads, self.head_dim, name="attn1")(h)
+        h = self._norm(x, cond, "norm2")
+        x = x + Attention(self.heads, self.head_dim, name="attn2")(h, context)
+        h = self._norm(x, cond, "norm3")
+        x = x + FeedForward(name="ff")(h)
+        return x
+
+
+class Transformer1D(nn.Module):
+    num_layers: int = 10
+    heads: int = 8
+    head_dim: int = 64
+    norm_groups: int = 32
+    modulation_dim: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, tokens, modulation_cond=None, context=None):
+        """tokens: (B, C, N) channels-first, as in the reference."""
+        residual = tokens
+        b, c, n = tokens.shape
+        h = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-6)(
+            tokens.transpose(0, 2, 1)
+        )  # flax GroupNorm normalizes the last dim; tokens -> (B, N, C)
+        inner = self.heads * self.head_dim
+        h = nn.Dense(inner)(h)
+        for i in range(self.num_layers):
+            h = TransformerBlock(
+                self.heads, self.head_dim, self.modulation_dim,
+                name=f"block_{i}")(h, cond=modulation_cond, context=context)
+        h = nn.Dense(c)(h)
+        return h.transpose(0, 2, 1) + residual

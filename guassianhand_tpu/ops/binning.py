@@ -1,0 +1,160 @@
+"""Tile binning: build depth-sorted per-tile Gaussian lists under static shapes.
+
+TPU-native replacement for the CUDA rasterizer's (tile, depth) radix sort +
+per-tile ranges (the reference's external diff-gaussian-rasterization binning,
+see SURVEY.md §3.5). Everything here is index computation — gradients never
+flow through it (callers wrap results in stop_gradient implicitly by treating
+them as integer data).
+
+Design (all shapes static):
+  1. every Gaussian enumerates up to ``max_tiles_per_gaussian`` (tile, depth)
+     pairs covering its 3-sigma rect (overflow is counted, not silently lost);
+  2. one stable lexicographic XLA sort by (tile, depth) — parity with the CUDA
+     radix sort on packed keys;
+  3. pairs are scattered into a slab buffer where each tile's run is padded to
+     a multiple of ``block_size`` so the Pallas composite kernel reads aligned
+     fixed-size blocks with a trivially static BlockSpec;
+  4. per-block metadata (owning tile, slot base) drives the kernel grid.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from guassianhand_tpu.ops.common import tile_rect
+
+
+@dataclasses.dataclass(frozen=True)
+class BinningConfig:
+    tile_size: int = 16
+    block_size: int = 128           # pairs per Pallas block (lane-width aligned)
+    max_tiles_per_gaussian: int = 16
+    max_blocks_per_tile: int = 64   # caps per-tile pairs at block_size * this
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Binning:
+    """Static-shape binning result.
+
+    pair_gidx:  (PP,) int32 Gaussian index per padded slab slot; sentinel N for
+                padding (callers append a zero row at index N when gathering).
+    tile_of_block / base_of_block: (TB,) int32 per-block owning tile and the
+                slot offset of the block within its tile's run.
+    counts:     (T+1,) int32 number of real pairs per tile (dummy tile last).
+    n_pairs:    () int32 total real pairs.
+    overflow:   () int32 pairs dropped (per-gaussian enum or per-tile cap).
+    """
+
+    pair_gidx: jax.Array
+    tile_of_block: jax.Array
+    base_of_block: jax.Array
+    counts: jax.Array
+    n_pairs: jax.Array
+    overflow: jax.Array
+
+
+def grid_dims(height: int, width: int, tile_size: int):
+    ntx = -(-width // tile_size)
+    nty = -(-height // tile_size)
+    return ntx, nty
+
+
+def static_sizes(n: int, height: int, width: int, cfg: BinningConfig):
+    """(num_tiles, padded pair capacity PP, total blocks TB)."""
+    ntx, nty = grid_dims(height, width, cfg.tile_size)
+    num_tiles = ntx * nty
+    pair_max = n * cfg.max_tiles_per_gaussian
+    # every tile gets >= 1 block; padding each tile run to block granularity
+    total_blocks = num_tiles + pair_max // cfg.block_size + 1
+    pp = total_blocks * cfg.block_size
+    return num_tiles, pp, total_blocks
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "cfg"))
+def bin_gaussians(
+    mean2d: jax.Array,
+    depth: jax.Array,
+    radius: jax.Array,
+    visible: jax.Array,
+    *,
+    height: int,
+    width: int,
+    cfg: BinningConfig = BinningConfig(),
+) -> Binning:
+    n = mean2d.shape[0]
+    m = cfg.max_tiles_per_gaussian
+    g = cfg.block_size
+    ntx, nty = grid_dims(height, width, cfg.tile_size)
+    num_tiles, pp, total_blocks = static_sizes(n, height, width, cfg)
+
+    mean2d = jax.lax.stop_gradient(mean2d)
+    depth = jax.lax.stop_gradient(depth)
+
+    x0, x1, y0, y1 = tile_rect(mean2d, radius, ntx, nty, cfg.tile_size)
+    rw = x1 - x0
+    rh = y1 - y0
+    need = jnp.where(visible, rw * rh, 0)  # (N,)
+    rw_safe = jnp.maximum(rw, 1)
+
+    mm = jnp.arange(m, dtype=jnp.int32)
+    tx = x0[:, None] + mm[None, :] % rw_safe[:, None]
+    ty = y0[:, None] + mm[None, :] // rw_safe[:, None]
+    valid = mm[None, :] < jnp.minimum(need, m)[:, None]
+    tile_id = jnp.where(valid, ty * ntx + tx, num_tiles).astype(jnp.int32)
+
+    tile_flat = tile_id.reshape(-1)
+    depth_flat = jnp.broadcast_to(depth[:, None], (n, m)).reshape(-1)
+    gidx_flat = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, m)
+    ).reshape(-1)
+
+    tile_s, _, gidx_s = jax.lax.sort(
+        (tile_flat, depth_flat, gidx_flat), num_keys=2, is_stable=True
+    )
+
+    # Per-tile counts + caps.
+    tile_ar = jnp.arange(num_tiles + 1, dtype=jnp.int32)
+    starts = jnp.searchsorted(tile_s, tile_ar, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(tile_s, tile_ar, side="right").astype(jnp.int32)
+    raw_counts = ends - starts  # (T+1,), last entry = invalid pairs
+    cap = cfg.max_blocks_per_tile * g
+    counts = jnp.minimum(raw_counts, cap).at[num_tiles].set(0)
+
+    overflow_enum = jnp.sum(jnp.maximum(need - m, 0))
+    overflow_cap = jnp.sum(jnp.maximum(raw_counts[:num_tiles] - cap, 0))
+
+    # Padded slab layout: nb[t] = max(1, ceil(counts/g)) blocks per real tile.
+    nb = jnp.maximum(1, -(-counts[:num_tiles] // g))
+    block_off = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(nb).astype(jnp.int32)]
+    )  # (T+1,)
+    pad_off = block_off * g  # slot offset of each tile's slab
+
+    # Scatter sorted pairs into slab positions.
+    rank = jnp.arange(n * m, dtype=jnp.int32) - starts[jnp.clip(tile_s, 0, num_tiles)]
+    keep = (tile_s < num_tiles) & (rank < cap)
+    dest = jnp.where(keep, pad_off[jnp.clip(tile_s, 0, num_tiles)] + rank, pp)
+    pair_gidx = jnp.full((pp + 1,), n, dtype=jnp.int32)
+    pair_gidx = pair_gidx.at[dest].set(gidx_s, mode="drop")[:pp]
+
+    # Per-block metadata.
+    blk = jnp.arange(total_blocks, dtype=jnp.int32)
+    tile_of_block = (
+        jnp.searchsorted(block_off, blk, side="right").astype(jnp.int32) - 1
+    )
+    tile_of_block = jnp.minimum(tile_of_block, num_tiles)  # tail -> dummy tile
+    base_of_block = (blk - block_off[jnp.clip(tile_of_block, 0, num_tiles)]) * g
+    base_of_block = jnp.where(tile_of_block >= num_tiles, 0, base_of_block)
+
+    return Binning(
+        pair_gidx=pair_gidx,
+        tile_of_block=tile_of_block,
+        base_of_block=base_of_block,
+        counts=counts,
+        n_pairs=jnp.sum(counts[:num_tiles]),
+        overflow=(overflow_enum + overflow_cap).astype(jnp.int32),
+    )

@@ -1,0 +1,164 @@
+"""Gaussian renderer head: validity/densify, UV residual maps, per-view render.
+
+TPU-native counterpart of the reference ``GS3DRenderer``
+(tgs/models/renderer_one_shot.py:216-648) and its edit variant
+(renderer_one_shot_edit.py:466-520):
+
+- validity gating and the learned "duplicate high-score points and refine"
+  densify step (renderer_one_shot.py:468-477) become static-capacity masking:
+  the output always holds 2N slots (originals + duplicates) with a validity
+  mask, instead of boolean indexing (SURVEY.md §7.1);
+- per-UV-texel appearance residuals: ``color_w`` global gain/bias,
+  ``color_b``/``opacity_b`` maps sampled at Gaussian UVs
+  (renderer_one_shot.py:300-334, 489-492);
+- the per-view python loop (renderer_one_shot.py:494-503) is a vmap over
+  cameras; the mask render comes free from the transmittance output.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from guassianhand_tpu.core.camera import Camera
+from guassianhand_tpu.core.gaussians import Gaussians
+from guassianhand_tpu.nn.heads import GSLayer, VertValid, VertPosRefinement
+from guassianhand_tpu.nn.mlp import MLP
+from guassianhand_tpu.ops.grid_sample import grid_sample_2d
+from guassianhand_tpu.ops.rasterize import RasterizeConfig, rasterize
+from guassianhand_tpu.mano.uv import normalize_uv
+
+
+@dataclasses.dataclass(frozen=True)
+class EditConfig:
+    """Texture-edit flags (render_edit dict of the reference,
+    config_one_shot_edit.yaml:175-179)."""
+
+    edit_left_only: bool = False   # zero appearance residuals on the right hand
+    duplication: bool = False      # copy left-hand texture onto the right hand
+
+
+@dataclasses.dataclass(frozen=True)
+class RendererConfig:
+    hidden_dim: int = 128          # gs_out.in_channels
+    feature_dim: int = 131         # 80 triplane + 51 additional (mlp_in, renderer_one_shot.py:241)
+    threshold_low: float = 0.1
+    threshold_high: float = 0.9
+    sh_degree: int = 3
+    use_rgb: bool = True
+    raster: RasterizeConfig = RasterizeConfig()
+
+
+class GSRenderer(nn.Module):
+    cfg: RendererConfig = RendererConfig()
+
+    def setup(self):
+        self.mlp_net = MLP(dim_out=self.cfg.hidden_dim,
+                           n_neurons=self.cfg.hidden_dim, n_hidden_layers=2,
+                           activation="silu")
+        self.gs_net = GSLayer(sh_degree=self.cfg.sh_degree,
+                              use_rgb=self.cfg.use_rgb)
+        self.gs_valid = VertValid()
+        self.vert_pos_refinement = VertPosRefinement()
+
+    def build_gaussians(self, features: jax.Array, points: jax.Array,
+                        vert_uv: jax.Array):
+        """features (N, C), points (N, 3), vert_uv (N, 2) packed-atlas UVs.
+
+        Returns (Gaussians with 2N static slots + validity, uv (2N, 2)).
+        The duplicated half reuses the parent vertex UV — the refinement
+        offset is bounded by 1e-3 (VertPosRefinement.radius), far below one
+        UV texel, so re-projecting through the UV mesh (reference
+        renderer_one_shot.py:481-487) is numerically a no-op for it.
+        """
+        score = self.gs_valid(features, points)[:, 0]  # (N,)
+        keep = score > self.cfg.threshold_low
+        dup = score > self.cfg.threshold_high
+        refined = self.vert_pos_refinement(features, points)
+
+        all_feats = jnp.concatenate([features, features], axis=0)
+        all_points = jnp.concatenate([points, refined], axis=0)
+        valid = jnp.concatenate([keep, dup], axis=0).astype(jnp.float32)
+
+        h = self.mlp_net(all_feats)
+        gs = self.gs_net(h, all_points)
+        gs = Gaussians(xyz=gs.xyz, opacity=gs.opacity, rotation=gs.rotation,
+                       scaling=gs.scaling, shs=gs.shs, valid=valid)
+        uv = jnp.concatenate([vert_uv, vert_uv], axis=0)
+        return gs, uv
+
+    def apply_appearance(self, gs: Gaussians, uv: jax.Array,
+                         color_w: Optional[jax.Array],
+                         xyz_b: Optional[jax.Array],
+                         color_b_map: Optional[jax.Array],
+                         opacity_b_map: Optional[jax.Array],
+                         edit: EditConfig = EditConfig()) -> Gaussians:
+        """Apply the fitted per-identity appearance residuals.
+
+        color_w: (48,) global gain/bias (first two rgb triples used, matching
+        renderer_one_shot.py:324); color_b_map: (48, Hm, Wm); opacity_b_map:
+        (1, Hm, Wm); xyz_b: (3,).
+        """
+        uvn = normalize_uv(uv)  # (M, 2) in [-1, 1]
+        rgb = gs.shs[:, 0, :]
+
+        if edit.duplication:
+            # Render the right hand with the left hand's texture: mirror the
+            # u axis of the packed atlas for right-hand points
+            # (renderer_one_shot_edit.py duplication branch).
+            right = uv[:, 0] < 0.5
+            uvn_dup = jnp.stack([-uvn[:, 0], uvn[:, 1]], axis=1)
+            uvn = jnp.where(right[:, None], uvn_dup, uvn)
+
+        if color_w is not None:
+            cw = color_w.reshape(16, 3)
+            rgb = rgb * cw[0][None, :] + cw[1][None, :] - 1.0
+
+        if color_b_map is not None:
+            cb = grid_sample_2d(color_b_map, uvn)  # (M, 48)
+            cb = cb.reshape(-1, 16, 3)[:, 0, :]
+            if edit.edit_left_only:
+                # left hand occupies u in [0.5, 1] of the packed atlas
+                left = uv[:, 0] >= 0.5
+                cb = cb * left[:, None].astype(cb.dtype)
+            rgb = rgb + cb
+
+        opacity = gs.opacity
+        if opacity_b_map is not None:
+            ob = grid_sample_2d(opacity_b_map, uvn)  # (M, 1)
+            opacity = opacity + ob
+
+        xyz = gs.xyz if xyz_b is None else gs.xyz + xyz_b[None, :]
+        return Gaussians(xyz=xyz, opacity=opacity, rotation=gs.rotation,
+                         scaling=gs.scaling, shs=rgb[:, None, :],
+                         valid=gs.valid)
+
+    def render_views(self, gs: Gaussians, w2cs: jax.Array, Ks: jax.Array,
+                     height: int, width: int,
+                     background: Optional[jax.Array] = None):
+        """w2cs (V, 4, 4), Ks (V, 3/4, 3/4) -> stacked view dict."""
+
+        def one_view(w2c, K):
+            cam = Camera.from_w2c(w2c, K, height, width)
+            out = rasterize(gs, cam, height=height, width=width,
+                            background=background,
+                            sh_degree=self.cfg.sh_degree,
+                            use_rgb=self.cfg.use_rgb, config=self.cfg.raster)
+            return out["comp_rgb"], out["comp_mask"]
+
+        rgb, mask = jax.vmap(one_view)(w2cs, Ks)
+        return {"comp_rgb": rgb, "comp_mask": mask}
+
+    def __call__(self, features, points, vert_uv, w2cs, Ks, *, height, width,
+                 background=None, color_w=None, xyz_b=None, color_b_map=None,
+                 opacity_b_map=None, edit: EditConfig = EditConfig()):
+        """Single-sample forward (vmap over batch at the model level)."""
+        gs, uv = self.build_gaussians(features, points, vert_uv)
+        gs = self.apply_appearance(gs, uv, color_w, xyz_b, color_b_map,
+                                   opacity_b_map, edit)
+        out = self.render_views(gs, w2cs, Ks, height, width, background)
+        out["3dgs"] = gs
+        return out
