@@ -1,0 +1,79 @@
+"""Headline benchmark: fwd+bwd differentiable splatting throughput at 512^2.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: rays/s/chip (pixels rendered per second through a full forward +
+backward of the rasterizer), the north star in BASELINE.json. The reference
+repo publishes no numbers (BASELINE.md); ``vs_baseline`` is computed against a
+nominal 100 fps fwd+bwd at 512^2 for the CUDA reference rasterizer on a
+contemporary GPU (2.62e7 rays/s) — the typical published throughput class for
+diff-gaussian-rasterization training workloads at this resolution.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+BASELINE_RAYS_PER_S = 512 * 512 * 100.0
+
+
+def main():
+    from guassianhand_tpu.core.gaussians import Gaussians
+    from guassianhand_tpu.core.camera import Camera
+    from guassianhand_tpu.ops.rasterize import RasterizeConfig, rasterize
+
+    hw = 512
+    n = 49152  # two-hand workload at the "hd" subdivision (SURVEY.md §0)
+    rng = np.random.RandomState(0)
+    xyz = rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)
+    q = rng.normal(size=(n, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    gs = Gaussians(
+        xyz=jnp.asarray(xyz),
+        opacity=jnp.asarray(rng.uniform(0.3, 0.9, (n, 1)).astype(np.float32)),
+        rotation=jnp.asarray(q),
+        scaling=jnp.asarray(rng.uniform(0.002, 0.01, (n, 3)).astype(np.float32)),
+        shs=jnp.asarray(rng.uniform(0, 1, (n, 1, 3)).astype(np.float32)),
+    )
+    f = 1.1 * hw
+    K = np.array([[f, 0, hw / 2], [0, f, hw / 2], [0, 0, 1]], np.float32)
+    w2c = np.eye(4, dtype=np.float32)
+    w2c[2, 3] = 1.8
+    cam = Camera.from_w2c(w2c, K, hw, hw)
+    cfg = RasterizeConfig(max_tiles_per_gaussian=16)
+    tgt = jnp.asarray(rng.uniform(0, 1, (hw, hw, 3)).astype(np.float32))
+
+    def loss_fn(xyz, scaling, rotation, opacity, shs):
+        g = Gaussians(xyz=xyz, opacity=opacity, rotation=rotation,
+                      scaling=scaling, shs=shs)
+        out = rasterize(g, cam, height=hw, width=hw, use_rgb=True, config=cfg)
+        return (jnp.abs(out["comp_rgb"] - tgt).mean()
+                + (out["comp_mask"] ** 2).mean())
+
+    step = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4)))
+    args = (gs.xyz, gs.scaling, gs.rotation, gs.opacity, gs.shs)
+    grads = step(*args)
+    jax.block_until_ready(grads)
+
+    n_iters = 20
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        grads = step(*args)
+    jax.block_until_ready(grads)
+    dt = time.perf_counter() - t0
+
+    rays_per_s = hw * hw * n_iters / dt
+    print(json.dumps({
+        "metric": "rays/s/chip fwd+bwd splatting 512^2 (49k gaussians)",
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

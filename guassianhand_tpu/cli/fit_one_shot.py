@@ -1,0 +1,176 @@
+"""One-shot avatar fitting / evaluation CLI.
+
+Counterpart of ``python infer_one_shot.py --config ... [--run_val]``
+(infer_one_shot.py:558-650):
+
+  python -m guassianhand_tpu.cli.fit_one_shot [--config cfg.yaml] [--run_val]
+      [--synthetic] [key.sub=value ...]
+
+--synthetic runs the full loop on the synthetic two-hand scene (no licensed
+assets needed); otherwise the InterHand2.6M pipeline is used. Fitting writes
+per-step visual dumps (vis/<expname>/), checkpoints (auto-resume from
+last.ckpt), a fitted-Gaussian PLY, and --run_val dumps PSNR/SSIM/(LPIPS)
+metrics to YAML like the reference test_epoch_end (infer_one_shot.py:391-402).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+import yaml
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser("guassianhand-tpu one-shot fitting")
+    parser.add_argument("--config", default=None)
+    parser.add_argument("--run_val", action="store_true")
+    parser.add_argument("--synthetic", action="store_true")
+    parser.add_argument("--steps", type=int, default=None,
+                        help="override total fit steps")
+    parser.add_argument("--height", type=int, default=None)
+    parser.add_argument("--width", type=int, default=None)
+    args, extras = parser.parse_known_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from guassianhand_tpu.config import (ExperimentConfig, load_config,
+                                         save_config_snapshot)
+    from guassianhand_tpu.models.one_shot import OneShotAvatarModel
+    from guassianhand_tpu.train import checkpoints as ckpt_lib
+    from guassianhand_tpu.train.fit import (FitConfig, make_fit_step,
+                                            make_optimizer)
+    from guassianhand_tpu.train.metrics import bbox_crop, psnr, ssim
+    from guassianhand_tpu.train.vgg import VGGLoss
+    from guassianhand_tpu.utils.saving import Saver
+
+    cfg: ExperimentConfig = load_config(args.config, extras)
+    run_dir = os.path.join(cfg.out_dir, cfg.expname)
+    save_config_snapshot(cfg, run_dir)
+    saver = Saver(run_dir)
+    hw_h = args.height or cfg.data.height
+    hw_w = args.width or cfg.data.width
+
+    if args.synthetic or cfg.data.dataset == "synthetic":
+        from guassianhand_tpu.data.synthetic import (SyntheticHandScene,
+                                                     synthetic_batch)
+
+        scene = SyntheticHandScene.build(
+            n_vertices=778, subdivide=min(cfg.data.edge_subdivide, 1),
+            height=hw_h, width=hw_w)
+        batch = synthetic_batch(scene, seed=cfg.seed,
+                                raster=cfg.model.renderer.raster)
+        batch_fn = lambda step: batch  # noqa: E731 — one-shot refits one frame
+        eval_batches = [batch]
+    else:
+        from guassianhand_tpu.data.interhand import (InterHandConfig,
+                                                     InterHandDataset)
+
+        ds_cfg = InterHandConfig(
+            data_root=cfg.data.data_root, annot_path=cfg.data.annot_path,
+            split="train" if not args.run_val else "test",
+            pose_sequence=cfg.data.pose_sequence,
+            edge_subdivide=cfg.data.edge_subdivide,
+            mask_sa=cfg.data.mask_sa, render_mask=cfg.data.render_mask,
+            height=hw_h, width=hw_w,
+            mano_models_path=cfg.data.mano_models_path,
+            mano_uv_path=cfg.data.mano_uv_path)
+        dataset = InterHandDataset(ds_cfg)
+        train_batch = dataset.load_sample(0)
+        batch_fn = lambda step: train_batch  # noqa: E731
+        eval_batches = None  # loaded lazily below
+
+    model = OneShotAvatarModel(cfg=cfg.model)
+    params = model.init(jax.random.PRNGKey(cfg.seed), batch_fn(0), hw_h, hw_w)
+    if cfg.pretrained and os.path.exists(cfg.pretrained):
+        params = ckpt_lib.load_params_partial(cfg.pretrained, params)
+        print(f"loaded pretrained weights from {cfg.pretrained}")
+
+    ckpt_dir = os.path.join(run_dir, "ckpts")
+    last = ckpt_lib.latest_checkpoint(ckpt_dir) if cfg.resume else None
+
+    def model_apply(p, b):
+        return model.apply(p, b, hw_h, hw_w)
+
+    vgg = VGGLoss(cfg.vgg_weights) if cfg.fit.weights.vgg > 0 else None
+    if vgg is not None and not vgg.pretrained:
+        print("warning: VGG19 weights unavailable; using fixed random "
+              "features for the perceptual loss")
+
+    if not args.run_val:
+        fit_cfg = cfg.fit
+        if args.steps:
+            fit_cfg = FitConfig(lr=fit_cfg.lr, epochs=1,
+                                steps_per_epoch=args.steps,
+                                weights=fit_cfg.weights)
+        optimizer = make_optimizer(params, fit_cfg)
+        opt_state = optimizer.init(params)
+        start = 0
+        if last:
+            restored = ckpt_lib.load_checkpoint(
+                last, {"params": params, "opt_state": opt_state, "step": 0})
+            params, opt_state = restored["params"], restored["opt_state"]
+            start = int(restored["step"])
+            print(f"resumed from {last} at step {start}")
+        step_fn = make_fit_step(model_apply,
+                                vgg if vgg and vgg.pretrained else None,
+                                optimizer, fit_cfg)
+        n_steps = fit_cfg.epochs * fit_cfg.steps_per_epoch
+        for i in range(start, n_steps):
+            batch = batch_fn(i)
+            params, opt_state, loss, err = step_fn(params, opt_state, batch)
+            if i % 10 == 0 or i == n_steps - 1:
+                print(f"step {i}/{n_steps} loss={float(loss):.5f}")
+                out = model_apply(params, batch)
+                saver.save_rgb(f"vis/step{i:04d}_pred.png",
+                               np.asarray(out["comp_rgb"][0, 0]))
+                saver.save_rgb(f"vis/step{i:04d}_ref.png",
+                               np.asarray(batch["target_rgb"][0]))
+        ckpt_lib.save_checkpoint(
+            os.path.join(ckpt_dir, f"model-{n_steps:05d}.ckpt"), params,
+            opt_state, n_steps)
+        out = model_apply(params, batch_fn(0))
+        gs0 = jax.tree_util.tree_map(lambda x: x[0], out["3dgs"])
+        saver.save_ply("3dgs/fitted.ply", gs0)
+        print(f"fit done; artifacts in {run_dir}")
+        return 0
+
+    # --run_val: evaluate
+    if last:
+        restored = ckpt_lib.load_checkpoint(
+            last, {"params": params, "opt_state": None, "step": 0})
+        params = restored["params"]
+        print(f"evaluating checkpoint {last}")
+    results = []
+    if eval_batches is None:
+        eval_batches = (dataset.load_sample(i) for i in range(len(dataset)))
+    for i, batch in enumerate(eval_batches):
+        out = model_apply(params, batch)
+        pred = np.asarray(out["comp_rgb"][0, 0])
+        tgt = np.asarray(batch["target_rgb"][0])
+        if "bbox_mask" in batch:
+            bm = np.asarray(batch["bbox_mask"])[..., None]
+            pred = pred * (bm > 0)
+        scores = {"psnr": float(psnr(jnp.asarray(pred), jnp.asarray(tgt))),
+                  "mse": float(((pred - tgt) ** 2).mean())}
+        if "mask_at_box" in batch:
+            pc = bbox_crop(pred, batch["mask_at_box"])
+            tc = bbox_crop(tgt, batch["mask_at_box"])
+            scores["ssim"] = float(ssim(jnp.asarray(pc), jnp.asarray(tc)))
+        else:
+            scores["ssim"] = float(ssim(jnp.asarray(pred), jnp.asarray(tgt)))
+        results.append(scores)
+        saver.save_rgb(f"images/frame{i:04d}_pred.png", pred)
+        saver.save_rgb(f"images/frame{i:04d}_gt.png", tgt)
+    mean = {k: float(np.mean([r[k] for r in results])) for k in results[0]}
+    out_path = os.path.join(run_dir, "test_metrics.yml")
+    with open(out_path, "w") as f:
+        yaml.safe_dump(mean, f)
+    print("results:", mean, "->", out_path)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

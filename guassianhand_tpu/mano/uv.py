@@ -194,6 +194,44 @@ def get_uvd(points: jax.Array, tri_xyz: jax.Array, tri_uv: jax.Array,
     return uvs.reshape(-1, 2)[:n], ds.reshape(-1)[:n]
 
 
+def project_to_faces(points, tri_xyz, chunk: int = 1024):
+    """Closest-face projection: returns (face_idx (N,), bary (N, 3)).
+
+    Used once at dataset setup to precompute static barycentric coordinates of
+    subdivided rest-pose vertices w.r.t. the coarse UV mesh. Because midpoint
+    subdivision is linear and LBS poses the coarse vertices, these barycentric
+    coordinates are pose-invariant — the runtime UV lookup becomes a static
+    gather, replacing the per-frame nearest-face search of the reference's
+    get_uvd (SURVEY.md §7.1).
+    """
+    a, b, c = tri_xyz[:, 0], tri_xyz[:, 1], tri_xyz[:, 2]
+    n = points.shape[0]
+    pad = (-n) % chunk
+    pts = jnp.pad(points, ((0, pad), (0, 0)))
+
+    def per_chunk(pc):
+        cp, bary = _closest_point_on_tri(
+            pc[:, None, :], a[None], b[None], c[None])
+        d2 = jnp.sum((pc[:, None, :] - cp) ** 2, axis=-1)
+        fi = jnp.argmin(d2, axis=1)
+        rows = jnp.arange(pc.shape[0])
+        return fi, bary[rows, fi]
+
+    fis, barys = jax.lax.map(per_chunk, pts.reshape(-1, chunk, 3))
+    return (np.asarray(fis.reshape(-1)[:n]),
+            np.asarray(barys.reshape(-1, 3)[:n]))
+
+
+def static_vertex_uv(rest_verts_sub: np.ndarray, coarse_tri_xyz: np.ndarray,
+                     coarse_tri_uv: np.ndarray) -> np.ndarray:
+    """Per-subdivided-vertex UV via static barycentric projection (see
+    project_to_faces). All inputs/outputs numpy; runs once at setup."""
+    fi, bary = project_to_faces(jnp.asarray(rest_verts_sub, jnp.float32),
+                                jnp.asarray(coarse_tri_xyz, jnp.float32))
+    return np.einsum("nk,nkd->nd", bary,
+                     np.asarray(coarse_tri_uv)[fi]).astype(np.float32)
+
+
 def load_uv_atlas(asset_dir: Optional[str] = None) -> Optional[dict]:
     """Load the packed two-hand UV assets if available.
 

@@ -146,10 +146,12 @@ class OneShotAvatarModel(nn.Module):
                               self.map_bias[..., :s2]], axis=-1)
         return codes + mb[None]
 
-    def __call__(self, batch: Dict[str, Any],
+    def __call__(self, batch: Dict[str, Any], height: int, width: int,
                  edit: EditConfig = EditConfig(),
                  identity_from_book: Optional[int] = None) -> Dict[str, Any]:
-        """batch (all batched over B):
+        """height/width are static python ints (shape-determining under jit).
+
+        batch (all batched over B):
           points        (B, N, 3)   posed query points (subdivided MANO verts)
           points_tar    (B, N, 3)   target-pose points (defaults to points)
           vert_uv       (B, N, 2)   packed-atlas UVs of the query points
@@ -163,8 +165,6 @@ class OneShotAvatarModel(nn.Module):
         c = self.cfg
         points = batch["points"]
         b, n, _ = points.shape
-        height = batch["height"]
-        width = batch["width"]
 
         cam_in = jnp.concatenate(
             [batch["intrinsic_normed"].reshape(b, -1),

@@ -148,7 +148,7 @@ class SelfAttn(nn.Module):
             o = nn.dot_product_attention(q, k, v, mask=attn_mask)
         else:
             o = nn.dot_product_attention(q, k, v)
-        o = nn.Dense(f)(o.reshape(b, n, f))
+        o = nn.Dense(f)(o.reshape(b, n, self.n_heads * d))
         x = x + o
         x = MLPResBlock(hid_dim=f)(x)
         if mask is not None:

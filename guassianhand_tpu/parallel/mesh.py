@@ -1,0 +1,49 @@
+"""Device mesh setup and sharding rules.
+
+The reference's only distribution is Lightning DDP data-parallelism over NCCL
+(infer_one_shot.py:638; SURVEY.md §2.7). The TPU-native design is a 2D
+``Mesh(("data", "model"))``:
+
+- ``data``: batch/frames (DCN-friendly axis across hosts)
+- ``model``: the Gaussian/primitive axis within a host (ICI): point features,
+  interaction attention sequence, and rasterizer pair lists shard here; XLA
+  inserts the all-gathers / reduce-scatters (collectives ride ICI), and
+  parameter gradients are psum-reduced over both axes overlapped with the
+  backward pass by the XLA latency-hiding scheduler.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: Optional[int] = None,
+              devices: Optional[Sequence] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n_data is None and n_model is None:
+        n_data, n_model = 1, n
+    elif n_data is None:
+        n_data = n // n_model
+    elif n_model is None:
+        n_model = n // n_data
+    assert n_data * n_model == n, (n_data, n_model, n)
+    arr = np.asarray(devices).reshape(n_data, n_model)
+    return Mesh(arr, ("data", "model"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, ndim: int, points_axis: Optional[int] = None
+                   ) -> NamedSharding:
+    """Shard axis 0 over data; optionally shard ``points_axis`` over model."""
+    spec = [None] * ndim
+    spec[0] = "data"
+    if points_axis is not None:
+        spec[points_axis] = "model"
+    return NamedSharding(mesh, P(*spec))

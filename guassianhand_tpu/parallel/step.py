@@ -1,0 +1,69 @@
+"""Sharded training/render step.
+
+Builds the jitted fit step with explicit shardings over a 2D mesh:
+- batch arrays: axis 0 over "data", the Gaussian/point axis over "model"
+  (sequence-parallel interaction attention + sharded point encoders);
+- params/optimizer state replicated; gradient reduction falls out of jit
+  partitioning as psums over both axes (overlapped with backward by XLA).
+
+This is the TPU answer to the reference's DDP (SURVEY.md §2.7/§7.3); the
+"Gaussian <-> tile all_to_all" of the rasterizer happens inside the jitted
+composite via XLA's resharding of the sorted pair arrays.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from guassianhand_tpu.train.fit import FitConfig
+from guassianhand_tpu.train.losses import compute_error, identity_regularizers
+
+# batch key -> (shard points axis?) — axis 0 is always "data"
+_POINTS_AXIS = {"points": 1, "points_tar": 1, "vert_uv": 1, "inter_mask": 1}
+
+
+def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
+    out = {}
+    for k, v in batch.items():
+        spec = [None] * v.ndim
+        spec[0] = "data"
+        ax = _POINTS_AXIS.get(k)
+        if ax is not None and v.shape[ax] % mesh.shape["model"] == 0:
+            spec[ax] = "model"
+        out[k] = jax.device_put(v, NamedSharding(mesh, P(*spec)))
+    return out
+
+
+def make_sharded_fit_step(model_apply: Callable, optimizer,
+                          mesh: Mesh, vgg_loss_fn: Optional[Callable] = None,
+                          cfg: FitConfig = FitConfig()):
+    """model_apply(params, batch) -> out dict (same contract as train.fit)."""
+
+    def loss_fn(params, batch):
+        out = model_apply(params, batch)
+        total, err = compute_error(
+            out["comp_rgb"][:, 0], batch["target_rgb"],
+            out["comp_mask"][:, 0], batch["target_mask"],
+            vgg_loss_fn, cfg.weights)
+        flat = params["params"] if "params" in params else params
+        reg = identity_regularizers(
+            {"color_b": flat["color_b"], "opacity_b": flat["opacity_b"],
+             "map_bias": flat["map_bias"]}, cfg.weights)
+        return total + reg, err
+
+    def step(params, opt_state, batch):
+        (loss, err), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, err
+
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        step,
+        in_shardings=(repl, repl, None),   # batch keeps its placed shardings
+        out_shardings=(repl, repl, repl, repl),
+    )

@@ -1,0 +1,87 @@
+"""Checkpoint save/resume.
+
+Counterpart of the reference's PL ModelCheckpoint + strict=False partial loads
+(infer_one_shot.py:600-617, tgs/utils/misc.py:29-59): pytree checkpoints of
+(params, opt_state, step) via flax serialization, with partial/filtered restore
+and a ``last`` symlink for auto-resume.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Sequence
+
+import flax.serialization as ser
+import jax
+
+
+def save_checkpoint(path: str, params: Any, opt_state: Any = None,
+                    step: int = 0, keep_last_link: bool = True) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    blob = ser.to_bytes({"params": params, "opt_state": opt_state,
+                         "step": step})
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+    if keep_last_link:
+        link = os.path.join(os.path.dirname(path) or ".", "last.ckpt")
+        try:
+            if os.path.lexists(link):
+                os.remove(link)
+            os.symlink(os.path.basename(path), link)
+        except OSError:
+            pass
+
+
+def load_checkpoint(path: str, template: Any):
+    """Restore into a template {params, opt_state, step} structure."""
+    with open(path, "rb") as f:
+        blob = f.read()
+    return ser.from_bytes(template, blob)
+
+
+def load_params_partial(path: str, params_template: Any,
+                        ignore_prefixes: Sequence[str] = ()) -> Any:
+    """strict=False-style restore: leaves present in the checkpoint replace
+    the template; missing/ignored ones keep template values
+    (tgs/utils/misc.py:29-59 semantics)."""
+    state = ser.msgpack_restore(open(path, "rb").read())
+    ck = state.get("params", state)
+
+    flat_t = jax.tree_util.tree_flatten_with_path(params_template)[0]
+
+    def get_in(d, path):
+        for p in path:
+            key = getattr(p, "key", getattr(p, "name", None))
+            if not isinstance(d, dict) or key not in d:
+                return None
+            d = d[key]
+        return d
+
+    out = params_template
+    replaced = {}
+    for path_t, leaf in flat_t:
+        names = "/".join(str(getattr(p, "key", p)) for p in path_t)
+        if any(names.startswith(pref) for pref in ignore_prefixes):
+            continue
+        val = get_in(ck, path_t)
+        if val is not None and getattr(val, "shape", None) == leaf.shape:
+            replaced[names] = val
+
+    def rebuild(path_t, leaf):
+        names = "/".join(str(getattr(p, "key", p)) for p in path_t)
+        return replaced.get(names, leaf)
+
+    return jax.tree_util.tree_map_with_path(rebuild, out)
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    link = os.path.join(ckpt_dir, "last.ckpt")
+    if os.path.exists(link):
+        return os.path.realpath(link)
+    if not os.path.isdir(ckpt_dir):
+        return None
+    cks = [f for f in os.listdir(ckpt_dir) if f.endswith(".ckpt")]
+    if not cks:
+        return None
+    return os.path.join(ckpt_dir, sorted(cks)[-1])

@@ -1,0 +1,123 @@
+"""One-shot avatar fitting loop.
+
+Counterpart of the reference's Lightning fit (infer_one_shot.py:314-524):
+- Adam with lr from config (0.01 one-shot / 0.001 edit, config/one_shot.json)
+  and a MultiStepLR schedule (milestones [2,5,10,20,35,50,75] epochs, gamma 0.5,
+  infer_one_shot.py:345-349)
+- only the per-identity parameters train; the big model is frozen
+  (infer_one_shot.py:340-343) — expressed here as an optax mask
+- loss = L1 + VGG + mask MSE + identity regularizers
+  (compute_error + infer_one_shot.py:514-519)
+- "training" = re-fitting the single reference frame for
+  epochs * steps_per_epoch steps (dataset_one_shot.py:435-439: 50-step epochs)
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from guassianhand_tpu.train.losses import (LossWeights, compute_error,
+                                           identity_regularizers)
+
+TRAINABLE_KEYS = ("map_bias", "color_w", "color_b", "opacity_b",
+                  "identity_code")  # infer_one_shot.py:341
+
+
+@dataclasses.dataclass(frozen=True)
+class FitConfig:
+    lr: float = 0.01
+    epochs: int = 1
+    steps_per_epoch: int = 50
+    milestones: Tuple[int, ...] = (2, 5, 10, 20, 35, 50, 75)
+    gamma: float = 0.5
+    weights: LossWeights = LossWeights()
+
+
+def lr_schedule(cfg: FitConfig) -> optax.Schedule:
+    boundaries = {m * cfg.steps_per_epoch: cfg.gamma for m in cfg.milestones}
+    return optax.piecewise_constant_schedule(cfg.lr, boundaries)
+
+
+def trainable_mask(params) -> Any:
+    """True for per-identity leaves (matched by path name)."""
+
+    def mask_fn(path, _leaf):
+        names = "/".join(str(getattr(p, "key", getattr(p, "name", p)))
+                         for p in path)
+        return any(k in names for k in TRAINABLE_KEYS)
+
+    return jax.tree_util.tree_map_with_path(mask_fn, params)
+
+
+def make_optimizer(params, cfg: FitConfig) -> optax.GradientTransformation:
+    # adam on the per-identity leaves, hard zero elsewhere (the reference sets
+    # requires_grad=False on everything else, infer_one_shot.py:340-343)
+    mask = trainable_mask(params)
+    labels = jax.tree_util.tree_map(
+        lambda m: "train" if m else "freeze", mask)
+    return optax.multi_transform(
+        {"train": optax.adam(lr_schedule(cfg)), "freeze": optax.set_to_zero()},
+        labels)
+
+
+def make_fit_step(model_apply: Callable, vgg_loss_fn: Optional[Callable],
+                  optimizer: optax.GradientTransformation,
+                  cfg: FitConfig = FitConfig()):
+    """Build the jitted fit step.
+
+    model_apply(params, batch) must return a dict with comp_rgb (B,V,H,W,3)
+    and comp_mask (B,V,H,W); the batch supplies target_rgb (B,H,W,3) and
+    target_mask (B,H,W) for the input view (V=1 during fitting).
+    """
+
+    def loss_fn(params, batch):
+        out = model_apply(params, batch)
+        pred_rgb = out["comp_rgb"][:, 0]
+        pred_mask = out["comp_mask"][:, 0]
+        total, err = compute_error(
+            pred_rgb, batch["target_rgb"], pred_mask, batch["target_mask"],
+            vgg_loss_fn, cfg.weights)
+        flat = params["params"] if "params" in params else params
+        reg = identity_regularizers(
+            {"color_b": flat["color_b"], "opacity_b": flat["opacity_b"],
+             "map_bias": flat["map_bias"]}, cfg.weights)
+        err["reg"] = reg
+        return total + reg, err
+
+    @jax.jit
+    def step(params, opt_state, batch):
+        (loss, err), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, err
+
+    return step
+
+
+def fit(model_apply: Callable, params, batch_fn: Callable[[int], Dict],
+        vgg_loss_fn: Optional[Callable] = None,
+        cfg: FitConfig = FitConfig(), log_every: int = 10,
+        log_fn: Callable[[str], None] = print):
+    """Run the fitting loop. batch_fn(step) -> batch dict (device arrays)."""
+    optimizer = make_optimizer(params, cfg)
+    opt_state = optimizer.init(params)
+    step_fn = make_fit_step(model_apply, vgg_loss_fn, optimizer, cfg)
+
+    n_steps = cfg.epochs * cfg.steps_per_epoch
+    history = []
+    t0 = time.time()
+    for i in range(n_steps):
+        batch = batch_fn(i)
+        params, opt_state, loss, err = step_fn(params, opt_state, batch)
+        if i % log_every == 0 or i == n_steps - 1:
+            loss_v = float(loss)
+            history.append(loss_v)
+            log_fn(f"fit step {i}/{n_steps} loss={loss_v:.5f} "
+                   f"({time.time() - t0:.1f}s)")
+    return params, history

@@ -1,0 +1,98 @@
+"""Fitting losses.
+
+Counterparts of the reference loss stack:
+- ``pix_loss`` (utils.py:282-321): l1 / l2 / lp / l1topK / l2topK pixel losses
+- ``compute_error`` (utils.py:120-280): weighted sum of L1 + VGG + mask MSE
+  with the lambdas from config/one_shot.json:121-132
+- per-identity regularizers (infer_one_shot.py:514-519):
+  100*mean|color_b| + mean(opacity_b^2) + 0.01*mean(map_bias^2)
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class LossWeights:
+    """Default lambdas match config/one_shot.json."""
+
+    l1: float = 10.0
+    l2: float = 0.0
+    lp: float = 0.0
+    vgg: float = 0.1
+    mask: float = 1.0
+    l1_top: float = 0.0       # weight for top-K percent l1
+    l1_top_ratio: float = 0.2
+    color_b_reg: float = 100.0
+    opacity_b_reg: float = 1.0
+    map_bias_reg: float = 0.01
+
+
+def pix_loss(src: jax.Array, tar: jax.Array, weights: Dict[str, float]):
+    """src/tar: (..., C, H, W) or any matching shape."""
+    out = {}
+    diff = src - tar
+    if weights.get("l1", 0.0) > 0:
+        out["l1"] = weights["l1"] * jnp.abs(diff).mean()
+    if weights.get("l2", 0.0) > 0:
+        out["l2"] = weights["l2"] * (diff ** 2).mean()
+    if weights.get("lp", 0.0) > 0:
+        out["lp"] = weights["lp"] * ((jnp.abs(diff) + 1e-4) ** 0.4).mean()
+    for key, w in weights.items():
+        if key.startswith("l1top") and w > 0:
+            ratio = float(key[5:]) / 100.0
+            per_px = jnp.abs(diff).sum(-3).reshape(diff.shape[0], -1)
+            k = max(1, int(per_px.shape[-1] * ratio))
+            top = jax.lax.top_k(per_px, k)[0]
+            out[key] = w * top.mean()
+        elif key.startswith("l2top") and w > 0:
+            ratio = float(key[5:]) / 100.0
+            per_px = (diff ** 2).sum(-3).reshape(diff.shape[0], -1)
+            k = max(1, int(per_px.shape[-1] * ratio))
+            top = jax.lax.top_k(per_px, k)[0]
+            out[key] = w * top.mean()
+    return out
+
+
+def compute_error(
+    pred_rgb: jax.Array,        # (B, H, W, 3)
+    target_rgb: jax.Array,      # (B, H, W, 3)
+    pred_mask: Optional[jax.Array] = None,    # (B, H, W)
+    target_mask: Optional[jax.Array] = None,  # (B, H, W)
+    vgg_loss_fn: Optional[Callable] = None,
+    weights: LossWeights = LossWeights(),
+):
+    """Returns (total, err_dict). Shapes HWC; converted internally as needed."""
+    err = {}
+    src = pred_rgb.transpose(0, 3, 1, 2)
+    tar = target_rgb.transpose(0, 3, 1, 2)
+    pw = {"l1": weights.l1, "l2": weights.l2, "lp": weights.lp}
+    err.update({f"e_pix_{k}": v for k, v in pix_loss(src, tar, pw).items()})
+
+    if pred_mask is not None and target_mask is not None and weights.mask > 0:
+        pm = jnp.clip(pred_mask, -0.001, 1.0)
+        err["mask_loss"] = weights.mask * ((pm - target_mask) ** 2).mean()
+
+    if vgg_loss_fn is not None and weights.vgg > 0:
+        err["e_vgg"] = weights.vgg * vgg_loss_fn(src, tar)
+
+    total = jnp.asarray(0.0)
+    for v in err.values():
+        total = total + v
+    return total, err
+
+
+def identity_regularizers(params: Dict[str, jax.Array],
+                          weights: LossWeights = LossWeights()):
+    """The per-identity parameter regularizers (infer_one_shot.py:514-519).
+
+    params must contain color_b, opacity_b, map_bias arrays.
+    """
+    reg = (weights.color_b_reg * jnp.abs(params["color_b"]).mean()
+           + weights.opacity_b_reg * (params["opacity_b"] ** 2).mean()
+           + weights.map_bias_reg * (params["map_bias"] ** 2).mean())
+    return reg
