@@ -44,21 +44,23 @@ class SkipTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, pos, key_feat, query_feat):
-        value = nn.Dense(self.dim)(key_feat + query_feat)
+        c = key_feat.shape[-1]
+        value = nn.Dense(c)(key_feat + query_feat)  # identity branch
         q = nn.Dense(self.dim)(query_feat)
         kf = nn.Dense(self.dim)(key_feat)
 
         _, idx = knn(pos, pos, self.k)          # (N, K)
         k_nbr = kf[idx]                          # (N, K, D)
-        v_nbr = value[idx]
+        v_nbr = value[idx]                       # (N, K, C)
         rel_pos = pos[:, None, :] - pos[idx]     # (N, K, 3)
-        pos_emb = MLPConv([self.dim, self.dim])(rel_pos)
+        pos_emb_attn = MLPConv([self.dim, self.dim])(rel_pos)
+        pos_emb_val = MLPConv([self.dim, c])(rel_pos)
 
-        attn = q[:, None, :] - k_nbr + pos_emb   # vector attention logits
-        attn = MLPConv([self.dim * 2, self.dim])(attn)
+        attn = q[:, None, :] - k_nbr + pos_emb_attn  # vector attention logits
+        attn = MLPConv([self.dim, c])(attn)
         attn = jax.nn.softmax(attn, axis=1)      # over neighbors
-        agg = jnp.sum(attn * (v_nbr + pos_emb), axis=1)
-        return nn.Dense(key_feat.shape[-1])(agg) + value
+        agg = jnp.sum(attn * (v_nbr + pos_emb_val), axis=1)
+        return nn.Dense(c)(agg) + value
 
 
 class SPD(nn.Module):

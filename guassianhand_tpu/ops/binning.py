@@ -3,18 +3,21 @@
 TPU-native replacement for the CUDA rasterizer's (tile, depth) radix sort +
 per-tile ranges (the reference's external diff-gaussian-rasterization binning,
 see SURVEY.md §3.5). Everything here is index computation — gradients never
-flow through it (callers wrap results in stop_gradient implicitly by treating
-them as integer data).
+flow through it.
 
-Design (all shapes static):
+Design (all shapes static, scatter-free — XLA scatter serializes on TPU, so
+the slab layout is produced by *gathers* from the sorted pair array):
+
   1. every Gaussian enumerates up to ``max_tiles_per_gaussian`` (tile, depth)
-     pairs covering its 3-sigma rect (overflow is counted, not silently lost);
-  2. one stable lexicographic XLA sort by (tile, depth) — parity with the CUDA
-     radix sort on packed keys;
-  3. pairs are scattered into a slab buffer where each tile's run is padded to
-     a multiple of ``block_size`` so the Pallas composite kernel reads aligned
-     fixed-size blocks with a trivially static BlockSpec;
-  4. per-block metadata (owning tile, slot base) drives the kernel grid.
+     pairs covering its 3-sigma rect (overflow counted, not silently lost);
+  2. one stable lexicographic XLA sort by (tile, depth) — parity with the
+     CUDA radix sort; invalid pairs carry a sentinel tile and sort last;
+  3. per-tile ranges come from searchsorted; each tile's run is *virtually*
+     padded to a multiple of ``block_size``: a slab slot maps back into the
+     sorted array as ``starts[tile] + rank`` (gather), no scatter anywhere;
+  4. per-block metadata (owning tile, slot base) drives the Pallas grid. The
+     slab capacity is a budget of ``pairs_per_gaussian`` average pairs, so
+     compute tracks actual overlap instead of the N*M worst case.
 """
 from __future__ import annotations
 
@@ -33,6 +36,7 @@ class BinningConfig:
     block_size: int = 128           # pairs per Pallas block (lane-width aligned)
     max_tiles_per_gaussian: int = 16
     max_blocks_per_tile: int = 64   # caps per-tile pairs at block_size * this
+    pairs_per_gaussian: float = 6.0  # slab capacity budget (average per gaussian)
 
 
 @jax.tree_util.register_dataclass
@@ -40,13 +44,12 @@ class BinningConfig:
 class Binning:
     """Static-shape binning result.
 
-    pair_gidx:  (PP,) int32 Gaussian index per padded slab slot; sentinel N for
-                padding (callers append a zero row at index N when gathering).
+    pair_gidx:  (PP,) int32 Gaussian index per slab slot; sentinel N padding.
     tile_of_block / base_of_block: (TB,) int32 per-block owning tile and the
                 slot offset of the block within its tile's run.
     counts:     (T+1,) int32 number of real pairs per tile (dummy tile last).
     n_pairs:    () int32 total real pairs.
-    overflow:   () int32 pairs dropped (per-gaussian enum or per-tile cap).
+    overflow:   () int32 pairs dropped (enum cap, per-tile cap, slab budget).
     """
 
     pair_gidx: jax.Array
@@ -64,13 +67,14 @@ def grid_dims(height: int, width: int, tile_size: int):
 
 
 def static_sizes(n: int, height: int, width: int, cfg: BinningConfig):
-    """(num_tiles, padded pair capacity PP, total blocks TB)."""
+    """(num_tiles, padded slab capacity PP, total blocks TB)."""
     ntx, nty = grid_dims(height, width, cfg.tile_size)
     num_tiles = ntx * nty
-    pair_max = n * cfg.max_tiles_per_gaussian
-    # every tile gets >= 1 block; padding each tile run to block granularity
-    total_blocks = num_tiles + pair_max // cfg.block_size + 1
-    pp = total_blocks * cfg.block_size
+    g = cfg.block_size
+    pair_budget = -(-int(n * cfg.pairs_per_gaussian) // g) * g
+    # every tile gets >= 1 block; tile runs pad to block granularity
+    total_blocks = num_tiles + pair_budget // g + 1
+    pp = total_blocks * g
     return num_tiles, pp, total_blocks
 
 
@@ -116,39 +120,47 @@ def bin_gaussians(
         (tile_flat, depth_flat, gidx_flat), num_keys=2, is_stable=True
     )
 
-    # Per-tile counts + caps.
+    # Per-tile ranges + caps.
     tile_ar = jnp.arange(num_tiles + 1, dtype=jnp.int32)
     starts = jnp.searchsorted(tile_s, tile_ar, side="left").astype(jnp.int32)
     ends = jnp.searchsorted(tile_s, tile_ar, side="right").astype(jnp.int32)
     raw_counts = ends - starts  # (T+1,), last entry = invalid pairs
     cap = cfg.max_blocks_per_tile * g
     counts = jnp.minimum(raw_counts, cap).at[num_tiles].set(0)
-
     overflow_enum = jnp.sum(jnp.maximum(need - m, 0))
     overflow_cap = jnp.sum(jnp.maximum(raw_counts[:num_tiles] - cap, 0))
 
-    # Padded slab layout: nb[t] = max(1, ceil(counts/g)) blocks per real tile.
+    # Slab layout: nb[t] = max(1, ceil(counts/g)) blocks per tile, clamped to
+    # the static slab budget — tiles past the budget are dropped (counted).
+    nb = jnp.maximum(1, -(-counts[:num_tiles] // g))
+    block_end = jnp.cumsum(nb).astype(jnp.int32)  # (T,)
+    fits = block_end <= total_blocks
+    overflow_budget = jnp.sum(jnp.where(fits, 0, counts[:num_tiles]))
+    counts = counts.at[:num_tiles].set(jnp.where(fits, counts[:num_tiles], 0))
     nb = jnp.maximum(1, -(-counts[:num_tiles] // g))
     block_off = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(nb).astype(jnp.int32)]
     )  # (T+1,)
-    pad_off = block_off * g  # slot offset of each tile's slab
+    pad_off = block_off * g
 
-    # Scatter sorted pairs into slab positions.
-    rank = jnp.arange(n * m, dtype=jnp.int32) - starts[jnp.clip(tile_s, 0, num_tiles)]
-    keep = (tile_s < num_tiles) & (rank < cap)
-    dest = jnp.where(keep, pad_off[jnp.clip(tile_s, 0, num_tiles)] + rank, pp)
-    pair_gidx = jnp.full((pp + 1,), n, dtype=jnp.int32)
-    pair_gidx = pair_gidx.at[dest].set(gidx_s, mode="drop")[:pp]
-
-    # Per-block metadata.
+    # Per-block metadata (gathers only).
     blk = jnp.arange(total_blocks, dtype=jnp.int32)
     tile_of_block = (
         jnp.searchsorted(block_off, blk, side="right").astype(jnp.int32) - 1
     )
     tile_of_block = jnp.minimum(tile_of_block, num_tiles)  # tail -> dummy tile
-    base_of_block = (blk - block_off[jnp.clip(tile_of_block, 0, num_tiles)]) * g
+    tob_c = jnp.clip(tile_of_block, 0, num_tiles - 1)
+    base_of_block = (blk - block_off[tob_c]) * g
     base_of_block = jnp.where(tile_of_block >= num_tiles, 0, base_of_block)
+
+    # Slot -> sorted-pair gather (replaces the scatter into slabs).
+    slot = jnp.arange(pp, dtype=jnp.int32)
+    tos = tile_of_block[slot // g]               # tile of slot
+    tos_c = jnp.clip(tos, 0, num_tiles - 1)
+    rank = slot - pad_off[tos_c]
+    ok = (tos < num_tiles) & (rank >= 0) & (rank < counts[tos_c])
+    src = jnp.clip(starts[tos_c] + rank, 0, n * m - 1)
+    pair_gidx = jnp.where(ok, gidx_s[src], n)
 
     return Binning(
         pair_gidx=pair_gidx,
@@ -156,5 +168,6 @@ def bin_gaussians(
         base_of_block=base_of_block,
         counts=counts,
         n_pairs=jnp.sum(counts[:num_tiles]),
-        overflow=(overflow_enum + overflow_cap).astype(jnp.int32),
+        overflow=(overflow_enum + overflow_cap
+                  + overflow_budget).astype(jnp.int32),
     )

@@ -107,31 +107,34 @@ def _fwd_kernel(tob_ref, base_ref, cnt_ref, attr_ref, out_ref, tcarry,
         out_ref[:] = jnp.zeros_like(out_ref)
         tcarry[:] = jnp.ones_like(tcarry)
 
-    px, py = _pixel_coords(t, ntx, tile_size, p)
-    attr = attr_ref[:]
-    alpha, _, _, _, _, _ = _block_alpha(attr, px, py, base, cnt, g)
+    @pl.when(cnt > base)  # skip empty/dummy blocks entirely
+    def _compute():
+        px, py = _pixel_coords(t, ntx, tile_size, p)
+        attr = attr_ref[:]
+        alpha, _, _, _, _, _ = _block_alpha(attr, px, py, base, cnt, g)
 
-    glog = jnp.log(1.0 - alpha)
-    cume = jax.lax.dot_general(
-        glog, _tri_strict_upper(g), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    tc = tcarry[:]  # (P, 1)
-    cpexc = tc * jnp.exp(cume)
-    cpincl = cpexc * (1.0 - alpha)
-    acc = (cpincl >= T_EPS).astype(jnp.float32)
-    w = alpha * cpexc * acc  # (P, G)
+        glog = jnp.log(1.0 - alpha)
+        cume = jax.lax.dot_general(
+            glog, _tri_strict_upper(g), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        tc = tcarry[:]  # (P, 1)
+        cpexc = tc * jnp.exp(cume)
+        cpincl = cpexc * (1.0 - alpha)
+        acc = (cpincl >= T_EPS).astype(jnp.float32)
+        w = alpha * cpexc * acc  # (P, G)
 
-    cattr = attr[5:8, :]  # (3, G)
-    out_ref[0, 0:3, :] += jax.lax.dot_general(
-        cattr, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-    )
-    t_new = jnp.min(jnp.where(acc > 0, cpincl, tc), axis=1, keepdims=True)
-    tcarry[:] = t_new
+        cattr = attr[5:8, :]  # (3, G)
+        out_ref[0, 0:3, :] += jax.lax.dot_general(
+            cattr, w, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        tcarry[:] = jnp.min(jnp.where(acc > 0, cpincl, tc), axis=1,
+                            keepdims=True)
 
     @pl.when(base + g >= cnt)
     def _finalize():
-        out_ref[0, 3:4, :] = t_new.reshape(1, p)
+        out_ref[0, 3:4, :] = tcarry[:].reshape(1, p)
 
 
 def composite_forward(attr, tile_of_block, base_of_block, counts,
@@ -173,35 +176,12 @@ def _bwd_kernel(step_block, step_tile, step_base, step_phase, cnt_ref,
     cnt = cnt_ref[t]
     bidx = base // g
 
-    px, py = _pixel_coords(t, ntx, tile_size, p)
-    attr = attr_ref[:]
-    alpha, alpha_raw, exp_power, dx, dy, (ca, cb, cc) = _block_alpha(
-        attr, px, py, base, cnt, g)
-
-    @pl.when(phase == 0)
-    def _forward_replay():
-        @pl.when(base == 0)
-        def _():
-            tcur[:] = jnp.ones_like(tcur)
-        tc = tcur[:]
-        tchk[pl.ds(bidx, 1), :] = tc.reshape(1, p)
-        glog = jnp.log(1.0 - alpha)
-        cume = jax.lax.dot_general(
-            glog, _tri_strict_upper(g), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        cpincl = tc * jnp.exp(cume) * (1.0 - alpha)
-        acc = cpincl >= T_EPS
-        tcur[:] = jnp.min(jnp.where(acc, cpincl, tc), axis=1, keepdims=True)
-        grad_ref[:] = jnp.zeros_like(grad_ref)
-
-    @pl.when(phase == 1)
-    def _backward():
-        gt = gtile_ref[0]  # (8, P): 0-2 grad color, 3 gT_total, 4 T_final
-
-        @pl.when(base + g >= cnt)
-        def _():
-            carry_r[:] = (gt[3:4, :] * gt[4:5, :]).reshape(p, 1)
-
+    def _backward_block():
+        gt = gtile_ref[0]
+        px, py = _pixel_coords(t, ntx, tile_size, p)
+        attr = attr_ref[:]
+        alpha, alpha_raw, exp_power, dx, dy, (ca, cb, cc) = _block_alpha(
+            attr, px, py, base, cnt, g)
         tstart = tchk[pl.ds(bidx, 1), :].reshape(p, 1)
         glog = jnp.log(1.0 - alpha)
         cume = jax.lax.dot_general(
@@ -238,7 +218,6 @@ def _bwd_kernel(step_block, step_tile, step_base, step_phase, cnt_ref,
             gimg, w, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)  # (3, G)
 
-        grad_ref[:] = jnp.zeros_like(grad_ref)
         grad_ref[0:1, :] = ddx
         grad_ref[1:2, :] = ddy
         grad_ref[2:3, :] = da
@@ -248,6 +227,45 @@ def _bwd_kernel(step_block, step_tile, step_base, step_phase, cnt_ref,
         grad_ref[8:9, :] = dopa
 
         carry_r[:] = carry_r[:] + jnp.sum(we, axis=1, keepdims=True)
+
+    @pl.when(phase == 0)
+    def _forward_replay():
+        @pl.when(base == 0)
+        def _():
+            tcur[:] = jnp.ones_like(tcur)
+
+        @pl.when(cnt > base)
+        def _compute():
+            px, py = _pixel_coords(t, ntx, tile_size, p)
+            alpha, _, _, _, _, _ = _block_alpha(attr_ref[:], px, py, base,
+                                                cnt, g)
+            tc = tcur[:]
+            tchk[pl.ds(bidx, 1), :] = tc.reshape(1, p)
+            glog = jnp.log(1.0 - alpha)
+            cume = jax.lax.dot_general(
+                glog, _tri_strict_upper(g), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            cpincl = tc * jnp.exp(cume) * (1.0 - alpha)
+            acc = cpincl >= T_EPS
+            tcur[:] = jnp.min(jnp.where(acc, cpincl, tc), axis=1,
+                              keepdims=True)
+
+        grad_ref[:] = jnp.zeros_like(grad_ref)
+
+    @pl.when(phase == 1)
+    def _backward():
+        gt = gtile_ref[0]  # (8, P): 0-2 grad color, 3 gT_total, 4 T_final
+
+        @pl.when(base + g >= cnt)
+        def _():
+            carry_r[:] = (gt[3:4, :] * gt[4:5, :]).reshape(p, 1)
+
+        grad_ref[:] = jnp.zeros_like(grad_ref)
+
+        @pl.when(cnt > base)
+        def _bwd_compute():
+            _backward_block()
+
 
 
 def composite_backward(attr, gtiles, tile_of_block, base_of_block, counts,

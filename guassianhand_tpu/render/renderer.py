@@ -35,10 +35,13 @@ from guassianhand_tpu.mano.uv import normalize_uv
 @dataclasses.dataclass(frozen=True)
 class EditConfig:
     """Texture-edit flags (render_edit dict of the reference,
-    config_one_shot_edit.yaml:175-179)."""
+    config_one_shot_edit.yaml:175-179; semantics at
+    renderer_one_shot_edit.py:489-510). In the packed UV atlas the map's left
+    half (u < 0.5) is the RIGHT hand, the right half the LEFT hand."""
 
-    edit_left_only: bool = False   # zero appearance residuals on the right hand
-    duplication: bool = False      # copy left-hand texture onto the right hand
+    enabled: bool = False          # use the edit path (per-hand color_w pairs)
+    edit_left_only: bool = False   # zero color_b on the right hand's half
+    duplication: bool = False      # right hand samples the left hand's texture
 
 
 @dataclasses.dataclass(frozen=True)
@@ -104,26 +107,36 @@ class GSRenderer(nn.Module):
         """
         uvn = normalize_uv(uv)  # (M, 2) in [-1, 1]
         rgb = gs.shs[:, 0, :]
+        right = uv[:, 0] < 0.5  # right hand occupies u in [0, 0.5)
 
+        uvn_sample = uvn
         if edit.duplication:
-            # Render the right hand with the left hand's texture: mirror the
-            # u axis of the packed atlas for right-hand points
-            # (renderer_one_shot_edit.py duplication branch).
-            right = uv[:, 0] < 0.5
-            uvn_dup = jnp.stack([-uvn[:, 0], uvn[:, 1]], axis=1)
-            uvn = jnp.where(right[:, None], uvn_dup, uvn)
+            # Right-hand points sample the left hand's texture half: the
+            # reference copies map[..., 1024:] over map[..., :1024]
+            # (renderer_one_shot_edit.py:506-507), i.e. a +0.5 u shift.
+            shifted = jnp.stack([uvn[:, 0] + 1.0, uvn[:, 1]], axis=1)
+            uvn_sample = jnp.where(right[:, None], shifted, uvn)
 
         if color_w is not None:
             cw = color_w.reshape(16, 3)
-            rgb = rgb * cw[0][None, :] + cw[1][None, :] - 1.0
+            if edit.enabled:
+                # per-hand gain/bias pairs (renderer_one_shot_edit.py:489-499):
+                # right hand cw[0]/cw[1], left hand cw[2]/cw[3]; duplication
+                # gives the left hand's pair to both hands.
+                use_left_pair = (~right[:, None]) | edit.duplication
+                gain = jnp.where(use_left_pair, cw[2][None], cw[0][None])
+                bias = jnp.where(use_left_pair, cw[3][None], cw[1][None])
+            else:
+                gain = cw[0][None]
+                bias = cw[1][None]
+            rgb = rgb * gain + bias - 1.0
 
         if color_b_map is not None:
-            cb = grid_sample_2d(color_b_map, uvn)  # (M, 48)
+            cb = grid_sample_2d(color_b_map, uvn_sample)  # (M, 48)
             cb = cb.reshape(-1, 16, 3)[:, 0, :]
             if edit.edit_left_only:
-                # left hand occupies u in [0.5, 1] of the packed atlas
-                left = uv[:, 0] >= 0.5
-                cb = cb * left[:, None].astype(cb.dtype)
+                # zero residuals on the right hand's half of the map
+                cb = cb * (~right)[:, None].astype(cb.dtype)
             rgb = rgb + cb
 
         opacity = gs.opacity

@@ -1,0 +1,133 @@
+"""Data pipeline pieces: native loader, rays/bounds, orbit cameras, saving,
+config system, snowflake/point-generator, profiling utils."""
+import os
+import tempfile
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from guassianhand_tpu.data.rays import (bounds_from_points, get_mask_at_box,
+                                        get_rays, orbit_cameras)
+from guassianhand_tpu.utils.saving import Saver, save_image_grid
+
+
+def test_rays_and_mask_at_box():
+    K = np.array([[60.0, 0, 32], [0, 60.0, 32], [0, 0, 1]], np.float32)
+    R = np.eye(3, dtype=np.float32)
+    t = np.array([0, 0, 2.0], np.float32)
+    ro, rd = get_rays(64, 64, K, R, t)
+    assert ro.shape == (64, 64, 3) and rd.shape == (64, 64, 3)
+    pts = np.random.RandomState(0).uniform(-0.2, 0.2, (100, 3)).astype(
+        np.float32)
+    bounds = bounds_from_points(pts)
+    mask, near, far = get_mask_at_box(bounds, K, R, t, 64, 64)
+    assert mask.shape == (64, 64)
+    assert mask.any() and not mask.all()
+    # the box sits around the origin, 2 in front of the camera
+    assert 1.0 < near < 2.0 < far < 3.0
+    # center pixel hits the box
+    assert mask[32, 32]
+
+
+def test_orbit_cameras_look_at_center():
+    K = np.array([[60.0, 0, 32], [0, 60.0, 32], [0, 0, 1]], np.float32)
+    center = np.array([0.1, -0.2, 0.4])
+    w2cs, Ks = orbit_cameras(center, 1.5, K, n_views=8)
+    assert w2cs.shape == (8, 4, 4)
+    for v in range(8):
+        pc = w2cs[v, :3, :3] @ center + w2cs[v, :3, 3]
+        # center projects to the optical axis at distance radius
+        np.testing.assert_allclose(pc[:2], 0.0, atol=1e-5)
+        np.testing.assert_allclose(pc[2], 1.5, atol=1e-5)
+
+
+def test_native_loader_roundtrip(tmp_path):
+    import PIL.Image
+
+    from guassianhand_tpu.data.native_loader import PrefetchPool, decode_image
+
+    img = (np.random.RandomState(0).uniform(0, 1, (32, 24, 3)) * 255).astype(
+        np.uint8)
+    p = str(tmp_path / "t.png")
+    PIL.Image.fromarray(img).save(p)
+    d = decode_image(p)
+    np.testing.assert_allclose(d, img / 255.0, atol=1e-6)
+
+    mask = np.zeros((32, 24), np.uint8)
+    mask[:16] = 255
+    mp = str(tmp_path / "m.png")
+    PIL.Image.fromarray(mask).save(mp)
+    pool = PrefetchPool(2)
+    t = pool.submit(p, mp)
+    rgb, m = pool.wait(t)
+    assert np.abs(rgb[16:]).max() == 0.0  # background zeroed
+    np.testing.assert_allclose(m[:16], 1.0)
+    pool.close()
+
+
+def test_saver_and_grid(tmp_path):
+    s = Saver(str(tmp_path))
+    img = np.random.RandomState(0).uniform(0, 1, (16, 16, 3))
+    path = s.save_rgb("a/b.png", img)
+    assert os.path.exists(path)
+    path = save_image_grid(str(tmp_path / "grid.png"), [img, img, img], cols=2)
+    import PIL.Image
+
+    g = PIL.Image.open(path)
+    assert g.size == (32, 32)  # 2x2 grid of 16px cells
+
+
+def test_config_system(tmp_path):
+    from guassianhand_tpu.config import load_config, save_config_snapshot
+
+    base = tmp_path / "base.yaml"
+    base.write_text("expname: base\nfit:\n  lr: 0.5\n")
+    child = tmp_path / "child.yaml"
+    child.write_text(f"extends: base.yaml\ndata:\n  height: 128\n")
+    cfg = load_config(str(child), ["fit.epochs=3", "expname=run1"])
+    assert cfg.expname == "run1"
+    assert cfg.fit.lr == 0.5
+    assert cfg.fit.epochs == 3
+    assert cfg.data.height == 128
+    snap = save_config_snapshot(cfg, str(tmp_path / "run"))
+    assert os.path.exists(snap)
+
+
+def test_fps_and_snowflake():
+    from guassianhand_tpu.ops.fps import farthest_point_sample, fps_subsample
+    from guassianhand_tpu.nn.snowflake import SnowflakeDecoder
+
+    rng = np.random.RandomState(0)
+    pts = jnp.asarray(rng.uniform(0, 1, (256, 3)), jnp.float32)
+    idx = farthest_point_sample(pts, 32)
+    assert len(np.unique(np.asarray(idx))) == 32  # no duplicates
+    sub = fps_subsample(pts, 32)
+    assert sub.shape == (32, 3)
+
+    dec = SnowflakeDecoder(up_factors=(2, 2))
+    params = dec.init(jax.random.PRNGKey(0), sub, jnp.zeros(128))
+    up, levels = dec.apply(params, sub, jnp.zeros(128))
+    assert up.shape == (128, 3)
+    assert len(levels) == 3
+
+
+def test_point_generator_bypass():
+    from guassianhand_tpu.models.point_generator import SimplePointGenerator
+
+    gen = SimplePointGenerator(num_pcl=64, backbone_layers=1,
+                               up_factors=(2,))
+    pts = jnp.asarray(np.random.RandomState(0).uniform(0, 1, (1, 128, 3)),
+                      jnp.float32)
+    params = gen.init(jax.random.PRNGKey(0), pts)
+    out = gen.apply(params, pts)
+    assert out.shape == (1, 128, 3)  # 64 fps * 2 up
+
+
+def test_profiling_utils():
+    from guassianhand_tpu.utils.profiling import timed
+
+    f = jax.jit(lambda x: x * 2)
+    dt, res = timed(f, jnp.ones(8), iters=3, warmup=1)
+    assert dt > 0 and np.asarray(res).sum() == 16

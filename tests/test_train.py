@@ -1,0 +1,113 @@
+"""Losses, metrics, VGG/LPIPS fallbacks, checkpoints."""
+import os
+import tempfile
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from guassianhand_tpu.train.losses import (LossWeights, compute_error,
+                                           identity_regularizers, pix_loss)
+from guassianhand_tpu.train.metrics import psnr, ssim, mse, bbox_crop
+from guassianhand_tpu.train.vgg import VGGLoss
+from guassianhand_tpu.train.lpips import LPIPS, lpips_from_01
+from guassianhand_tpu.train import checkpoints as ck
+
+
+def test_pix_loss_values():
+    src = jnp.ones((1, 3, 8, 8)) * 0.5
+    tar = jnp.zeros((1, 3, 8, 8))
+    out = pix_loss(src, tar, {"l1": 10.0, "l2": 1.0})
+    np.testing.assert_allclose(float(out["l1"]), 5.0, atol=1e-6)
+    np.testing.assert_allclose(float(out["l2"]), 0.25, atol=1e-6)
+
+
+def test_compute_error_and_regs():
+    rng = np.random.RandomState(0)
+    pred = jnp.asarray(rng.uniform(0, 1, (1, 16, 16, 3)), jnp.float32)
+    tgt = jnp.asarray(rng.uniform(0, 1, (1, 16, 16, 3)), jnp.float32)
+    pm = jnp.asarray(rng.uniform(0, 1, (1, 16, 16)), jnp.float32)
+    tm = jnp.asarray(rng.uniform(0, 1, (1, 16, 16)), jnp.float32)
+    total, err = compute_error(pred, tgt, pm, tm, None, LossWeights(vgg=0.0))
+    assert float(total) > 0 and np.isfinite(float(total))
+    assert "e_pix_l1" in err and "mask_loss" in err
+
+    params = {"color_b": jnp.full((4, 4), 0.01),
+              "opacity_b": jnp.full((2, 2), 0.1),
+              "map_bias": jnp.full((2, 2), 1.0)}
+    reg = identity_regularizers(params)
+    # 100*0.01 + 0.01 + 0.01*1 = 1.02
+    np.testing.assert_allclose(float(reg), 1.02, atol=1e-5)
+
+
+def test_psnr_ssim_sanity():
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.uniform(0, 1, (32, 32, 3)), jnp.float32)
+    assert float(psnr(img, img)) > 60
+    assert abs(float(ssim(img, img)) - 1.0) < 1e-5
+    noisy = jnp.clip(img + 0.2 * rng.normal(size=img.shape).astype(np.float32),
+                     0, 1)
+    assert float(ssim(img, noisy)) < 0.9
+    assert 5 < float(psnr(img, noisy)) < 25
+
+
+def test_ssim_matches_skimage():
+    import pytest
+
+    skimage = pytest.importorskip("skimage")
+    from skimage.metrics import structural_similarity
+
+    rng = np.random.RandomState(3)
+    a = rng.uniform(0, 1, (40, 40, 3)).astype(np.float32)
+    b = np.clip(a + 0.1 * rng.normal(size=a.shape), 0, 1).astype(np.float32)
+    ours = float(ssim(jnp.asarray(a), jnp.asarray(b)))
+    ref = structural_similarity(a, b, channel_axis=2, data_range=1.0)
+    assert abs(ours - ref) < 0.02, (ours, ref)
+
+
+def test_bbox_crop():
+    img = np.arange(64).reshape(8, 8).astype(np.float32)[..., None]
+    mask = np.zeros((8, 8), bool)
+    mask[2:5, 3:7] = True
+    crop = bbox_crop(img, mask)
+    assert crop.shape == (3, 4, 1)
+
+
+def test_vgg_and_lpips_fallbacks_run():
+    vgg = VGGLoss()
+    x = jnp.asarray(np.random.RandomState(0).uniform(0, 1, (1, 3, 64, 64)),
+                    jnp.float32)
+    y = jnp.asarray(np.random.RandomState(1).uniform(0, 1, (1, 3, 64, 64)),
+                    jnp.float32)
+    l_same = float(vgg(x, x))
+    l_diff = float(vgg(x, y))
+    assert l_same < 1e-6 and l_diff > l_same
+
+    lp = LPIPS()
+    d_same = float(lpips_from_01(lp, np.asarray(x).transpose(0, 2, 3, 1),
+                                 np.asarray(x).transpose(0, 2, 3, 1))[0])
+    d_diff = float(lpips_from_01(lp, np.asarray(x).transpose(0, 2, 3, 1),
+                                 np.asarray(y).transpose(0, 2, 3, 1))[0])
+    assert d_same < 1e-6 and d_diff > 1e-4
+
+
+def test_checkpoint_roundtrip_and_partial():
+    params = {"a": jnp.ones((3,)), "nested": {"b": jnp.zeros((2, 2))}}
+    opt_state = {"count": jnp.asarray(5)}
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "m.ckpt")
+        ck.save_checkpoint(path, params, opt_state, step=7)
+        assert os.path.exists(os.path.join(d, "last.ckpt"))
+        restored = ck.load_checkpoint(
+            path, {"params": params, "opt_state": opt_state, "step": 0})
+        assert int(restored["step"]) == 7
+        np.testing.assert_array_equal(np.asarray(restored["params"]["a"]),
+                                      np.ones(3))
+        # partial restore into a template with an extra key
+        template = {"a": jnp.zeros((3,)), "nested": {"b": jnp.ones((2, 2))},
+                    "extra": jnp.full((4,), 9.0)}
+        part = ck.load_params_partial(path, template)
+        np.testing.assert_array_equal(np.asarray(part["a"]), np.ones(3))
+        np.testing.assert_array_equal(np.asarray(part["extra"]),
+                                      np.full((4,), 9.0))
+        assert ck.latest_checkpoint(d) is not None
