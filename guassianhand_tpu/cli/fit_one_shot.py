@@ -44,6 +44,7 @@ def main(argv=None):
                                             make_optimizer)
     from guassianhand_tpu.train.metrics import bbox_crop, psnr, ssim
     from guassianhand_tpu.train.vgg import VGGLoss
+    from guassianhand_tpu.utils.logging import RunLogger
     from guassianhand_tpu.utils.saving import Saver
 
     cfg: ExperimentConfig = load_config(args.config, extras)
@@ -117,12 +118,14 @@ def main(argv=None):
         step_fn = make_fit_step(model_apply,
                                 vgg if vgg and vgg.pretrained else None,
                                 optimizer, fit_cfg)
+        logger = RunLogger(run_dir)
         n_steps = fit_cfg.epochs * fit_cfg.steps_per_epoch
         for i in range(start, n_steps):
             batch = batch_fn(i)
             params, opt_state, loss, err = step_fn(params, opt_state, batch)
             if i % 10 == 0 or i == n_steps - 1:
-                print(f"step {i}/{n_steps} loss={float(loss):.5f}")
+                logger.log(i, {"loss": float(loss),
+                               **{k: float(v) for k, v in err.items()}})
                 out = model_apply(params, batch)
                 saver.save_rgb(f"vis/step{i:04d}_pred.png",
                                np.asarray(out["comp_rgb"][0, 0]))

@@ -126,15 +126,20 @@ class SelfAttn(nn.Module):
 
     Accepts an optional boolean mask (True = participates). Unlike the
     reference — which boolean-indexes the interacting subset and, above 30k
-    points, falls back to 8 sequential chunks (renderer_one_shot.py:554-574) —
-    we keep static shapes and mask the attention weights, which the TPU
-    parallelizes fully; masked rows pass through unchanged.
+    points, falls back to 8 sequential *local* chunks
+    (renderer_one_shot.py:554-574, an approximation) — this computes the EXACT
+    attention over the interacting set with static shapes via blockwise
+    online-softmax attention (ops/blockwise_attention.py), so memory stays
+    O(N * chunk) at any sequence length; masked rows pass through unchanged.
     """
 
     n_heads: int = 4
+    chunk_size: int = 2048
 
     @nn.compact
     def __call__(self, x, mask=None):
+        from guassianhand_tpu.ops.blockwise_attention import blockwise_attention
+
         b, n, f = x.shape
         d = f // self.n_heads
         x_in = x
@@ -143,11 +148,12 @@ class SelfAttn(nn.Module):
         q = nn.Dense(self.n_heads * d)(h).reshape(b, n, self.n_heads, d)
         k = nn.Dense(self.n_heads * d)(h).reshape(b, n, self.n_heads, d)
         v = nn.Dense(self.n_heads * d)(h).reshape(b, n, self.n_heads, d)
-        if mask is not None:
-            attn_mask = (mask[:, None, None, :] & mask[:, None, :, None])
-            o = nn.dot_product_attention(q, k, v, mask=attn_mask)
-        else:
-            o = nn.dot_product_attention(q, k, v)
+        chunk = min(self.chunk_size, max(128, n))
+        o = jax.vmap(
+            lambda qq, kk, vv, mm: blockwise_attention(
+                qq, kk, vv, mm, q_chunk=chunk, k_chunk=chunk)
+        )(q, k, v, mask if mask is not None
+          else jnp.ones((b, n), bool))
         o = nn.Dense(f)(o.reshape(b, n, self.n_heads * d))
         x = x + o
         x = MLPResBlock(hid_dim=f)(x)

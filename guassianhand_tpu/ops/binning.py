@@ -153,14 +153,17 @@ def bin_gaussians(
     base_of_block = (blk - block_off[tob_c]) * g
     base_of_block = jnp.where(tile_of_block >= num_tiles, 0, base_of_block)
 
-    # Slot -> sorted-pair gather (replaces the scatter into slabs).
-    slot = jnp.arange(pp, dtype=jnp.int32)
-    tos = tile_of_block[slot // g]               # tile of slot
-    tos_c = jnp.clip(tos, 0, num_tiles - 1)
-    rank = slot - pad_off[tos_c]
-    ok = (tos < num_tiles) & (rank >= 0) & (rank < counts[tos_c])
-    src = jnp.clip(starts[tos_c] + rank, 0, n * m - 1)
-    pair_gidx = jnp.where(ok, gidx_s[src], n)
+    # Slot -> sorted-pair mapping. All metadata is per-block (TB-sized
+    # gathers, ~thousands of elements) broadcast over the block's G slots;
+    # only ONE large gather remains (gidx_s[src], contiguous runs of G).
+    src_base = starts[tob_c] + base_of_block          # (TB,)
+    cnt_b = counts[tob_c]
+    jj = jnp.arange(g, dtype=jnp.int32)
+    src = src_base[:, None] + jj[None, :]             # (TB, G)
+    ok = ((tile_of_block < num_tiles)[:, None]
+          & (base_of_block[:, None] + jj[None, :] < cnt_b[:, None]))
+    src = jnp.clip(src, 0, n * m - 1)
+    pair_gidx = jnp.where(ok, gidx_s[src], n).reshape(-1)
 
     return Binning(
         pair_gidx=pair_gidx,

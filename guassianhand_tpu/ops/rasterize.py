@@ -102,7 +102,7 @@ def _composite_fwd(mean2d, conic, color, opacity, pair_gidx, tile_of_block,
     ntx, nty = binning_lib.grid_dims(height, width, tile_size)
     num_tiles = ntx * nty
     attr = _build_attr(mean2d, conic, color, opacity, pair_gidx)
-    out = kern.composite_forward(
+    out, tchk = kern.composite_forward(
         attr, tile_of_block, base_of_block, counts,
         num_tiles=num_tiles, ntx=ntx, tile_size=tile_size,
         block_size=block_size, interpret=interpret)
@@ -110,14 +110,14 @@ def _composite_fwd(mean2d, conic, color, opacity, pair_gidx, tile_of_block,
     rgb = _tiles_to_image(tiles[:, 0:3], height, width, tile_size)
     final_t = _tiles_to_image(tiles[:, 3:4], height, width, tile_size)[..., 0]
     residuals = (mean2d, conic, color, opacity, pair_gidx, tile_of_block,
-                 base_of_block, counts, tiles[:, 3])
+                 base_of_block, counts, tiles[:, 3], tchk)
     return (rgb, final_t), residuals
 
 
 def _composite_bwd(height, width, tile_size, block_size, max_blocks_per_tile,
                    interpret, residuals, cotangents):
     (mean2d, conic, color, opacity, pair_gidx, tile_of_block, base_of_block,
-     counts, tfinal_tiles) = residuals
+     counts, tfinal_tiles, tchk) = residuals
     g_rgb, g_t = cotangents
     ntx, nty = binning_lib.grid_dims(height, width, tile_size)
     num_tiles = ntx * nty
@@ -137,7 +137,7 @@ def _composite_bwd(height, width, tile_size, block_size, max_blocks_per_tile,
 
     attr = _build_attr(mean2d, conic, color, opacity, pair_gidx)
     pair_grads = kern.composite_backward(
-        attr, gtiles, tile_of_block, base_of_block, counts,
+        attr, gtiles, tchk, tile_of_block, base_of_block, counts,
         num_tiles=num_tiles, ntx=ntx, tile_size=tile_size,
         block_size=block_size, max_blocks_per_tile=max_blocks_per_tile,
         interpret=interpret)  # (16, PP)

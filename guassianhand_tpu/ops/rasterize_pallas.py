@@ -94,8 +94,8 @@ def _tri_strict_lower(g: int):
     return (r > c).astype(jnp.float32)
 
 
-def _fwd_kernel(tob_ref, base_ref, cnt_ref, attr_ref, out_ref, tcarry,
-                *, ntx: int, tile_size: int, g: int):
+def _fwd_kernel(tob_ref, base_ref, cnt_ref, attr_ref, out_ref, tchk_ref,
+                tcarry, *, ntx: int, tile_size: int, g: int):
     p = tile_size * tile_size
     i = pl.program_id(0)
     t = tob_ref[i]
@@ -106,6 +106,12 @@ def _fwd_kernel(tob_ref, base_ref, cnt_ref, attr_ref, out_ref, tcarry,
     def _init():
         out_ref[:] = jnp.zeros_like(out_ref)
         tcarry[:] = jnp.ones_like(tcarry)
+
+    # checkpoint the transmittance at block start — the backward pass reads
+    # these instead of replaying the forward (single-phase backward). The
+    # checkpoint array is row-grouped by 8 to satisfy Mosaic's (8, 128) block
+    # tiling; this step owns row i % 8 of block i // 8.
+    tchk_ref[pl.ds(i % 8, 1), :] = tcarry[:].reshape(1, p)
 
     @pl.when(cnt > base)  # skip empty/dummy blocks entirely
     def _compute():
@@ -140,7 +146,9 @@ def _fwd_kernel(tob_ref, base_ref, cnt_ref, attr_ref, out_ref, tcarry,
 def composite_forward(attr, tile_of_block, base_of_block, counts,
                       *, num_tiles: int, ntx: int, tile_size: int,
                       block_size: int, interpret: bool = False):
-    """attr: (16, PP) fp32. Returns out (T+1, 8, P): rows 0-2 color, 3 final T."""
+    """attr: (16, PP) fp32. Returns (out (T+1, 8, P), tchk (TB, P)):
+    out rows 0-2 color, row 3 final T; tchk = per-block start transmittance
+    checkpoints consumed by the backward pass."""
     p = tile_size * tile_size
     total_blocks = tile_of_block.shape[0]
     kernel = functools.partial(_fwd_kernel, ntx=ntx, tile_size=tile_size,
@@ -152,37 +160,54 @@ def composite_forward(attr, tile_of_block, base_of_block, counts,
             pl.BlockSpec((ATTR_ROWS, block_size), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 8, p), lambda i, tob, *_: (tob[i], 0, 0),
-            memory_space=pltpu.VMEM),
+        out_specs=(
+            pl.BlockSpec((1, 8, p), lambda i, tob, *_: (tob[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, p), lambda i, *_: (i // 8, 0),
+                         memory_space=pltpu.VMEM),
+        ),
         scratch_shapes=[pltpu.VMEM((p, 1), jnp.float32)],
     )
+    tchk_rows = -(-total_blocks // 8) * 8
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_tiles + 1, 8, p), jnp.float32),
+        out_shape=(
+            jax.ShapeDtypeStruct((num_tiles + 1, 8, p), jnp.float32),
+            jax.ShapeDtypeStruct((tchk_rows, p), jnp.float32),
+        ),
         interpret=interpret,
     )(tile_of_block, base_of_block, counts, attr)
 
 
-def _bwd_kernel(step_block, step_tile, step_base, step_phase, cnt_ref,
-                attr_ref, gtile_ref, grad_ref, tchk, tcur, carry_r,
-                *, ntx: int, tile_size: int, g: int, max_blocks: int):
+def _bwd_kernel(step_block, step_tile, step_base, cnt_ref,
+                attr_ref, gtile_ref, tchk_ref, grad_ref, carry_r,
+                *, ntx: int, tile_size: int, g: int):
+    """Single-phase backward: blocks of each tile visited in REVERSE depth
+    order; the per-block start transmittance comes from the forward pass's
+    checkpoints (tchk input), so no replay phase is needed."""
     p = tile_size * tile_size
     i = pl.program_id(0)
     t = step_tile[i]
     base = step_base[i]
-    phase = step_phase[i]
     cnt = cnt_ref[t]
-    bidx = base // g
 
-    def _backward_block():
-        gt = gtile_ref[0]
+    blk = step_block[i]
+    gt = gtile_ref[0]  # (8, P): 0-2 grad color, 3 gT_total, 4 T_final
+
+    @pl.when(base + g >= cnt)  # first backward step of this tile
+    def _():
+        carry_r[:] = (gt[3:4, :] * gt[4:5, :]).reshape(p, 1)
+
+    grad_ref[:] = jnp.zeros_like(grad_ref)
+
+    @pl.when(cnt > base)
+    def _compute():
         px, py = _pixel_coords(t, ntx, tile_size, p)
         attr = attr_ref[:]
         alpha, alpha_raw, exp_power, dx, dy, (ca, cb, cc) = _block_alpha(
             attr, px, py, base, cnt, g)
-        tstart = tchk[pl.ds(bidx, 1), :].reshape(p, 1)
+        tstart = tchk_ref[pl.ds(blk % 8, 1), :].reshape(p, 1)
         glog = jnp.log(1.0 - alpha)
         cume = jax.lax.dot_general(
             glog, _tri_strict_upper(g), (((1,), (0,)), ((), ())),
@@ -228,87 +253,38 @@ def _bwd_kernel(step_block, step_tile, step_base, step_phase, cnt_ref,
 
         carry_r[:] = carry_r[:] + jnp.sum(we, axis=1, keepdims=True)
 
-    @pl.when(phase == 0)
-    def _forward_replay():
-        @pl.when(base == 0)
-        def _():
-            tcur[:] = jnp.ones_like(tcur)
 
-        @pl.when(cnt > base)
-        def _compute():
-            px, py = _pixel_coords(t, ntx, tile_size, p)
-            alpha, _, _, _, _, _ = _block_alpha(attr_ref[:], px, py, base,
-                                                cnt, g)
-            tc = tcur[:]
-            tchk[pl.ds(bidx, 1), :] = tc.reshape(1, p)
-            glog = jnp.log(1.0 - alpha)
-            cume = jax.lax.dot_general(
-                glog, _tri_strict_upper(g), (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            cpincl = tc * jnp.exp(cume) * (1.0 - alpha)
-            acc = cpincl >= T_EPS
-            tcur[:] = jnp.min(jnp.where(acc, cpincl, tc), axis=1,
-                              keepdims=True)
-
-        grad_ref[:] = jnp.zeros_like(grad_ref)
-
-    @pl.when(phase == 1)
-    def _backward():
-        gt = gtile_ref[0]  # (8, P): 0-2 grad color, 3 gT_total, 4 T_final
-
-        @pl.when(base + g >= cnt)
-        def _():
-            carry_r[:] = (gt[3:4, :] * gt[4:5, :]).reshape(p, 1)
-
-        grad_ref[:] = jnp.zeros_like(grad_ref)
-
-        @pl.when(cnt > base)
-        def _bwd_compute():
-            _backward_block()
-
-
-
-def composite_backward(attr, gtiles, tile_of_block, base_of_block, counts,
-                       *, num_tiles: int, ntx: int, tile_size: int,
+def composite_backward(attr, gtiles, tchk, tile_of_block, base_of_block,
+                       counts, *, num_tiles: int, ntx: int, tile_size: int,
                        block_size: int, max_blocks_per_tile: int,
                        interpret: bool = False):
-    """Backward composite.
+    """Backward composite (single phase; see _bwd_kernel).
 
     attr:   (16, PP) as in forward.
     gtiles: (T+1, 8, P): rows 0-2 dL/dcolor, 3 total dL/dT_final, 4 T_final.
+    tchk:   (TB, P) forward transmittance checkpoints.
     Returns per-pair gradients (16, PP).
     """
     p = tile_size * tile_size
     tb = tile_of_block.shape[0]
 
-    # Step schedule: for each tile, its blocks forward (phase 0, checkpointing
-    # transmittance) then the same blocks in reverse (phase 1, gradients).
-    # Built on host in numpy? — shapes are static but values depend on traced
-    # metadata, so build with jnp here (runs once per call, tiny).
+    # Schedule: blocks of each tile in reverse order (tiles stay in order so
+    # the gtile input block remains resident across a tile's steps).
     order_fwd = jnp.arange(tb, dtype=jnp.int32)
     tob = tile_of_block
-    first_of_tile = jnp.full((num_tiles + 1,), tb, jnp.int32).at[tob].min(order_fwd)
-    last_of_tile = jnp.zeros((num_tiles + 1,), jnp.int32).at[tob].max(order_fwd)
-    # Schedule per tile t (blocks ft..lt contiguous): slots [2ft, 2ft+nbt) run
-    # the blocks forward (phase 0, T checkpointing), slots [2ft+nbt, 2ft+2nbt)
-    # run them in reverse (phase 1, gradients).
-    ft = first_of_tile[tob]
-    lt = last_of_tile[tob]
-    nbt = lt - ft + 1
-    pos_fwd = ft + order_fwd            # = 2*ft + (j - ft)
-    pos_bwd = 2 * ft + nbt + (lt - order_fwd)
-    sched_block = jnp.zeros((2 * tb,), jnp.int32)
-    sched_block = sched_block.at[pos_fwd].set(order_fwd)
-    sched_block = sched_block.at[pos_bwd].set(order_fwd)
-    sched_phase = jnp.zeros((2 * tb,), jnp.int32).at[pos_bwd].set(1)
+    first_of_tile = jnp.full((num_tiles + 1,), tb, jnp.int32).at[tob].min(
+        order_fwd)
+    last_of_tile = jnp.zeros((num_tiles + 1,), jnp.int32).at[tob].max(
+        order_fwd)
+    sched_block = first_of_tile[tob] + last_of_tile[tob] - order_fwd
     sched_tile = tob[sched_block]
     sched_base = base_of_block[sched_block]
 
     kernel = functools.partial(_bwd_kernel, ntx=ntx, tile_size=tile_size,
-                               g=block_size, max_blocks=max_blocks_per_tile)
+                               g=block_size)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
-        grid=(2 * tb,),
+        num_scalar_prefetch=4,
+        grid=(tb,),
         in_specs=[
             pl.BlockSpec((ATTR_ROWS, block_size),
                          lambda i, sb, *_: (0, sb[i]),
@@ -316,24 +292,23 @@ def composite_backward(attr, gtiles, tile_of_block, base_of_block, counts,
             pl.BlockSpec((1, 8, p),
                          lambda i, sb, st, *_: (st[i], 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, p),
+                         lambda i, sb, *_: (sb[i] // 8, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (GRAD_ROWS, block_size),
-            # phase 0 writes to a dummy tail block (index tb), phase 1 writes
-            # the real block — every real block is visited exactly once.
-            lambda i, sb, st, sbase, sphase, *_: (0, jnp.where(sphase[i] == 1, sb[i], tb)),
+            lambda i, sb, *_: (0, sb[i]),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((max_blocks_per_tile, p), jnp.float32),  # T checkpoints
-            pltpu.VMEM((p, 1), jnp.float32),                    # T carry
-            pltpu.VMEM((p, 1), jnp.float32),                    # suffix carry R
+            pltpu.VMEM((p, 1), jnp.float32),  # suffix carry R
         ],
     )
     grads = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((GRAD_ROWS, (tb + 1) * block_size),
+        out_shape=jax.ShapeDtypeStruct((GRAD_ROWS, tb * block_size),
                                        jnp.float32),
         interpret=interpret,
-    )(sched_block, sched_tile, sched_base, sched_phase, counts, attr, gtiles)
-    return grads[:, : tb * block_size]
+    )(sched_block, sched_tile, sched_base, counts, attr, gtiles, tchk)
+    return grads

@@ -1,0 +1,49 @@
+"""Blockwise attention == dense attention (exactness of the online softmax)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from guassianhand_tpu.ops.blockwise_attention import blockwise_attention
+
+
+def _dense(q, k, v, mask):
+    s = jnp.einsum("qhd,khd->hqk", q, k) / jnp.sqrt(q.shape[-1])
+    s = jnp.where(mask[None, None, :], s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("hqk,khd->qhd", p, v)
+    return out * mask[:, None, None]
+
+
+def test_blockwise_matches_dense():
+    rng = np.random.RandomState(0)
+    n, h, d = 300, 4, 16
+    q = jnp.asarray(rng.normal(size=(n, h, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(n, h, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(n, h, d)), jnp.float32)
+    mask = jnp.asarray(rng.uniform(size=n) > 0.3)
+    out_b = blockwise_attention(q, k, v, mask, q_chunk=64, k_chunk=128)
+    out_d = _dense(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_d),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_blockwise_no_mask_and_grads():
+    rng = np.random.RandomState(1)
+    n, h, d = 200, 2, 8
+    q = jnp.asarray(rng.normal(size=(n, h, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(n, h, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(n, h, d)), jnp.float32)
+    out = blockwise_attention(q, k, v, q_chunk=64, k_chunk=64)
+    ref = _dense(q, k, v, jnp.ones(n, bool))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=1e-4)
+
+    g = jax.grad(lambda a, b, c: blockwise_attention(
+        a, b, c, q_chunk=64, k_chunk=64).sum())(q, k, v)
+    assert np.isfinite(np.asarray(g)).all()
+
+    # all-masked input stays finite (graceful degenerate softmax)
+    out0 = blockwise_attention(q, k, v, jnp.zeros(n, bool), q_chunk=64,
+                               k_chunk=64)
+    assert np.isfinite(np.asarray(out0)).all()
+    np.testing.assert_allclose(np.asarray(out0), 0.0, atol=1e-6)
