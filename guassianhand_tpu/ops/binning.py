@@ -104,10 +104,22 @@ def bin_gaussians(
     need = jnp.where(visible, rw * rh, 0)  # (N,)
     rw_safe = jnp.maximum(rw, 1)
 
+    # Rect enumeration without integer div/mod (slow on the VPU): unrolled
+    # row-major counters over the (rw, rh) rect.
+    need_cap = jnp.minimum(need, m)
+    txs, tys = [], []
+    cx = jnp.zeros_like(x0)
+    cy = jnp.zeros_like(y0)
+    for _ in range(m):
+        txs.append(x0 + cx)
+        tys.append(y0 + cy)
+        wrap = cx + 1 >= rw_safe
+        cx = jnp.where(wrap, 0, cx + 1)
+        cy = jnp.where(wrap, cy + 1, cy)
+    tx = jnp.stack(txs, axis=1)  # (N, M)
+    ty = jnp.stack(tys, axis=1)
     mm = jnp.arange(m, dtype=jnp.int32)
-    tx = x0[:, None] + mm[None, :] % rw_safe[:, None]
-    ty = y0[:, None] + mm[None, :] // rw_safe[:, None]
-    valid = mm[None, :] < jnp.minimum(need, m)[:, None]
+    valid = mm[None, :] < need_cap[:, None]
     tile_id = jnp.where(valid, ty * ntx + tx, num_tiles).astype(jnp.int32)
 
     tile_flat = tile_id.reshape(-1)
