@@ -121,6 +121,25 @@ class AdditionalFeaturesFC(nn.Module):
         return MLPBlock(hid_dim=self.out_dim)(x)
 
 
+class IdentityCodeInfer(nn.Module):
+    """Infer a 33-d identity code from point tokens
+    (verts_refinement.py:133-154: fc -> LayerNorm -> flatten-fc -> sigmoid*2-1).
+    Supports the codebook-attention identity mechanism whose trained artifact
+    is the raw identity_code_book parameter used by the edit path
+    (SURVEY.md §2.10)."""
+
+    code_dim: int = 33
+
+    @nn.compact
+    def __call__(self, tokens):
+        """tokens: (B, N_token, C) -> (B, code_dim) in (-1, 1)."""
+        b = tokens.shape[0]
+        h = nn.Dense(self.code_dim)(tokens)
+        h = nn.LayerNorm()(h)
+        h = nn.Dense(self.code_dim)(h.reshape(b, -1))
+        return nn.sigmoid(h) * 2.0 - 1.0
+
+
 class SelfAttn(nn.Module):
     """Interaction self-attention over Gaussian features (self_attn.py:36-85).
 
