@@ -262,7 +262,7 @@ class InterHandDataset:
         points_t = self.pose_sample(mp_t)
         inter = interaction_mask(points, points_t)
 
-        w2c = np.eye(4, np.float32)
+        w2c = np.eye(4, dtype=np.float32)
         w2c[:3, :3] = in_R
         w2c[:3, 3] = in_t
         c2w = np.linalg.inv(w2c)

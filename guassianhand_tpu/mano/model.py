@@ -35,10 +35,11 @@ def load_mano_model(hand: str = "right", path: Optional[str] = None,
                     fix_left_shapedirs: bool = True) -> Optional[ManoModel]:
     """Load a MANO pkl as a ManoModel, or None if not found."""
     candidates = []
-    if path:
-        candidates.append(path)
-    env = os.environ.get("MANO_MODELS_PATH")
     name = f"MANO_{hand.upper()}.pkl"
+    if path:
+        candidates.append(os.path.join(path, name) if os.path.isdir(path)
+                          else path)
+    env = os.environ.get("MANO_MODELS_PATH")
     for base in filter(None, [env, "./assets/mano", "./smplx/models/mano"]):
         candidates.append(os.path.join(base, name))
     fn = next((c for c in candidates if os.path.exists(c)), None)
