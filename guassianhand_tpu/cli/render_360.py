@@ -33,7 +33,7 @@ def main(argv=None):
                                                  synthetic_batch)
     from guassianhand_tpu.models.one_shot import OneShotAvatarModel
     from guassianhand_tpu.train import checkpoints as ckpt_lib
-    from guassianhand_tpu.utils.saving import save_video_frames
+    from guassianhand_tpu.utils.saving import save_gif, save_video_frames
 
     cfg = load_config(args.config, extras)
     hw_h, hw_w = cfg.data.height, cfg.data.width
@@ -67,7 +67,8 @@ def main(argv=None):
         if v % 10 == 0:
             print(f"view {v}/{args.views}")
     paths = save_video_frames(out_dir, frames)
-    print(f"wrote {len(paths)} frames to {out_dir}")
+    save_gif(os.path.join(out_dir, "turntable.gif"), frames)
+    print(f"wrote {len(paths)} frames + turntable.gif to {out_dir}")
     return 0
 
 

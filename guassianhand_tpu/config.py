@@ -71,7 +71,7 @@ def _from_dict(cls, d: Dict[str, Any]):
             ftype = inner[0] if inner else ftype
         if dataclasses.is_dataclass(ftype) and isinstance(v, dict):
             kwargs[k] = _from_dict(ftype, v)
-        elif origin in (tuple, Tuple) and isinstance(v, list):
+        elif (origin in (tuple, Tuple) or ftype is tuple) and isinstance(v, list):
             kwargs[k] = tuple(v)
         else:
             kwargs[k] = v

@@ -36,7 +36,7 @@ class BinningConfig:
     block_size: int = 128           # pairs per Pallas block (lane-width aligned)
     max_tiles_per_gaussian: int = 16
     max_blocks_per_tile: int = 64   # caps per-tile pairs at block_size * this
-    pairs_per_gaussian: float = 6.0  # slab capacity budget (average per gaussian)
+    pairs_per_gaussian: float = 4.5  # slab capacity budget (average per gaussian)
 
 
 @jax.tree_util.register_dataclass

@@ -109,15 +109,15 @@ def _composite_fwd(mean2d, conic, color, opacity, pair_gidx, tile_of_block,
     tiles = out[:num_tiles]  # (T, 8, P)
     rgb = _tiles_to_image(tiles[:, 0:3], height, width, tile_size)
     final_t = _tiles_to_image(tiles[:, 3:4], height, width, tile_size)[..., 0]
-    residuals = (mean2d, conic, color, opacity, pair_gidx, tile_of_block,
-                 base_of_block, counts, tiles[:, 3], tchk)
+    residuals = (mean2d, conic, color, opacity, attr, pair_gidx,
+                 tile_of_block, base_of_block, counts, tiles[:, 3], tchk)
     return (rgb, final_t), residuals
 
 
 def _composite_bwd(height, width, tile_size, block_size, max_blocks_per_tile,
                    interpret, residuals, cotangents):
-    (mean2d, conic, color, opacity, pair_gidx, tile_of_block, base_of_block,
-     counts, tfinal_tiles, tchk) = residuals
+    (mean2d, conic, color, opacity, attr, pair_gidx, tile_of_block,
+     base_of_block, counts, tfinal_tiles, tchk) = residuals
     g_rgb, g_t = cotangents
     ntx, nty = binning_lib.grid_dims(height, width, tile_size)
     num_tiles = ntx * nty
@@ -135,7 +135,6 @@ def _composite_bwd(height, width, tile_size, block_size, max_blocks_per_tile,
     gtiles = gtiles.at[:num_tiles, 3].set(g_t_tiles)
     gtiles = gtiles.at[:num_tiles, 4].set(tfinal_tiles)
 
-    attr = _build_attr(mean2d, conic, color, opacity, pair_gidx)
     pair_grads = kern.composite_backward(
         attr, gtiles, tchk, tile_of_block, base_of_block, counts,
         num_tiles=num_tiles, ntx=ntx, tile_size=tile_size,

@@ -42,6 +42,17 @@ def save_image_grid(path: str, imgs: Sequence, cols: Optional[int] = None) -> st
     return save_image(path, grid)
 
 
+def save_gif(path: str, frames: Sequence, fps: int = 20) -> str:
+    """Animated GIF from float [0,1] HWC frames (turntable previews)."""
+    import PIL.Image
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    imgs = [PIL.Image.fromarray(_to_uint8(f)) for f in frames]
+    imgs[0].save(path, save_all=True, append_images=imgs[1:],
+                 duration=int(1000 / fps), loop=0)
+    return path
+
+
 def save_video_frames(dirname: str, frames: Iterable, prefix: str = "") -> list:
     paths = []
     for i, f in enumerate(frames):

@@ -1,0 +1,60 @@
+"""CLI smoke tests (tiny configs, CPU interpret mode)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+TINY_OVERRIDES = [
+    "model.camera_embed_dim=32", "model.pose_embed_dim=32",
+    "model.plane_size=8", "model.token_channels=32",
+    "model.backbone_layers=1", "model.backbone_heads=2",
+    "model.backbone_head_dim=16", "model.residual_map_hw=[32,64]",
+    "model.interaction_k=8",
+    "model.renderer.raster.interpret=true",
+    "model.renderer.raster.max_tiles_per_gaussian=4",
+    "model.renderer.raster.max_blocks_per_tile=16",
+    "data.height=32", "data.width=32", "data.edge_subdivide=0",
+    "fit.epochs=1", "fit.steps_per_epoch=2", "fit.weights.vgg=0",
+]
+
+
+def test_config_overrides_reach_nested_dataclasses():
+    from guassianhand_tpu.config import load_config
+
+    cfg = load_config(None, TINY_OVERRIDES)
+    assert cfg.model.plane_size == 8
+    assert cfg.model.renderer.raster.interpret is True
+    assert cfg.model.residual_map_hw == (32, 64)
+    assert cfg.fit.weights.vgg == 0
+
+
+@pytest.mark.slow
+def test_fit_cli_synthetic_smoke(tmp_path, monkeypatch):
+    from guassianhand_tpu.cli import fit_one_shot
+
+    # Small synthetic scene: the CLI builds 778-vert hands; subdivide=0 keeps
+    # it manageable on CPU.
+    rc = fit_one_shot.main(
+        ["--synthetic", "--steps", "2",
+         f"out_dir={tmp_path}", "expname=smoke"] + TINY_OVERRIDES)
+    assert rc == 0
+    run = tmp_path / "smoke"
+    assert (run / "config_snapshot.yaml").exists()
+    assert (run / "metrics.jsonl").exists()
+    assert (run / "3dgs" / "fitted.ply").exists()
+    assert (run / "ckpts" / "last.ckpt").exists()
+    rec = json.loads((run / "metrics.jsonl").read_text().splitlines()[0])
+    assert np.isfinite(rec["loss"])
+
+
+@pytest.mark.slow
+def test_render_360_cli_smoke(tmp_path):
+    from guassianhand_tpu.cli import render_360
+
+    rc = render_360.main(
+        ["--views", "3", f"--out={tmp_path}/video",
+         f"out_dir={tmp_path}", "expname=r360"] + TINY_OVERRIDES)
+    assert rc == 0
+    assert os.path.exists(tmp_path / "video" / "0000.png")
+    assert os.path.exists(tmp_path / "video" / "turntable.gif")
