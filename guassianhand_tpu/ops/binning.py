@@ -132,7 +132,10 @@ def bin_gaussians(
         (tile_flat, depth_flat, gidx_flat), num_keys=2, is_stable=True
     )
 
-    # Per-tile ranges + caps.
+    # Per-tile ranges via searchsorted. Measured alternatives both lose on
+    # TPU: scatter-based boundary marking costs ~ the full 786k update count
+    # (XLA scatter cost tracks updates, not unique targets), and histogram
+    # via segment_sum serializes on duplicate indices.
     tile_ar = jnp.arange(num_tiles + 1, dtype=jnp.int32)
     starts = jnp.searchsorted(tile_s, tile_ar, side="left").astype(jnp.int32)
     ends = jnp.searchsorted(tile_s, tile_ar, side="right").astype(jnp.int32)

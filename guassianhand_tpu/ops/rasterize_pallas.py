@@ -270,12 +270,17 @@ def composite_backward(attr, gtiles, tchk, tile_of_block, base_of_block,
 
     # Schedule: blocks of each tile in reverse order (tiles stay in order so
     # the gtile input block remains resident across a tile's steps).
+    # Blocks of a tile are contiguous: find run boundaries and scatter with
+    # UNIQUE indices (duplicate-index scatter-min/max serializes on TPU).
     order_fwd = jnp.arange(tb, dtype=jnp.int32)
     tob = tile_of_block
-    first_of_tile = jnp.full((num_tiles + 1,), tb, jnp.int32).at[tob].min(
-        order_fwd)
-    last_of_tile = jnp.zeros((num_tiles + 1,), jnp.int32).at[tob].max(
-        order_fwd)
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), tob[:-1]])
+    nxt = jnp.concatenate([tob[1:], jnp.full((1,), -1, jnp.int32)])
+    oob = num_tiles + 2
+    first_of_tile = jnp.zeros((num_tiles + 2,), jnp.int32).at[
+        jnp.where(tob != prev, tob, oob)].set(order_fwd, mode="drop")
+    last_of_tile = jnp.zeros((num_tiles + 2,), jnp.int32).at[
+        jnp.where(tob != nxt, tob, oob)].set(order_fwd, mode="drop")
     sched_block = first_of_tile[tob] + last_of_tile[tob] - order_fwd
     sched_tile = tob[sched_block]
     sched_base = base_of_block[sched_block]

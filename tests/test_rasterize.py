@@ -162,3 +162,20 @@ def test_gradcheck_vs_finite_differences():
             assert abs(fd - ref) <= 1e-4 * max(1.0, abs(ref)), (trial, fd, ref)
     finally:
         jax.config.update("jax_enable_x64", False)
+
+
+def test_golden_render_stats():
+    """Regression pin: fixed scene -> fixed image statistics (catches silent
+    semantic drift in projection/binning/composite)."""
+    cam = make_camera(64, 64)
+    g = make_gaussians(256, seed=42)
+    out = rasterize(g, cam, height=64, width=64, use_rgb=True,
+                    background=jnp.array([0.25, 0.5, 0.75]), config=CFG)
+    img = np.asarray(out["comp_rgb"])
+    m = np.asarray(out["comp_mask"])
+    assert int(out["n_pairs"]) == 544
+    np.testing.assert_allclose(img.mean(), 0.49906647, atol=1e-5)
+    np.testing.assert_allclose(img.std(), 0.19043249, atol=1e-5)
+    np.testing.assert_allclose(m.mean(), 0.17798567, atol=1e-5)
+    np.testing.assert_allclose(
+        img[32, 32], [0.3469450, 0.4358120, 0.4917480], atol=1e-5)
