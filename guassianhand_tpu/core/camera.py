@@ -33,6 +33,22 @@ def intrinsic_to_fov(K: jax.Array, w, h):
     return tan_half_x, tan_half_y
 
 
+def projection_matrix_from_fov(fov_x, fov_y, znear=0.01, zfar=1000.0) -> jax.Array:
+    """Symmetric-frustum GL projection from FoVs (ref: getProjectionMatrix,
+    renderer_one_shot.py:39-59). The K-aware variant below is what the
+    one-shot pipeline uses; this exists for API parity."""
+    tan_x = jnp.tan(fov_x / 2.0)
+    tan_y = jnp.tan(fov_y / 2.0)
+    zero = jnp.zeros_like(tan_x)
+    one = jnp.ones_like(tan_x)
+    row0 = jnp.stack([1.0 / tan_x, zero, zero, zero])
+    row1 = jnp.stack([zero, 1.0 / tan_y, zero, zero])
+    row2 = jnp.stack([zero, zero, zfar / (zfar - znear) * one,
+                      -(zfar * znear) / (zfar - znear) * one])
+    row3 = jnp.stack([zero, zero, one, zero])
+    return jnp.stack([row0, row1, row2, row3])
+
+
 def projection_matrix_from_K(K: jax.Array, h, w, znear=0.01, zfar=1000.0) -> jax.Array:
     """GL-style projection from OpenCV K (ref: getProjectionMatrix_refine)."""
     fx = K[0, 0]

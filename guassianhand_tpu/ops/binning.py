@@ -145,14 +145,16 @@ def bin_gaussians(
     overflow_enum = jnp.sum(jnp.maximum(need - m, 0))
     overflow_cap = jnp.sum(jnp.maximum(raw_counts[:num_tiles] - cap, 0))
 
-    # Slab layout: nb[t] = max(1, ceil(counts/g)) blocks per tile, clamped to
-    # the static slab budget — tiles past the budget are dropped (counted).
-    nb = jnp.maximum(1, -(-counts[:num_tiles] // g))
+    # Slab layout: nb[t] = ceil(counts/g) blocks per tile (EMPTY tiles get no
+    # blocks — the composite aliases a pre-initialized output so untouched
+    # tiles read as background), clamped to the static slab budget — tiles
+    # past the budget are dropped (counted).
+    nb = -(-counts[:num_tiles] // g)
     block_end = jnp.cumsum(nb).astype(jnp.int32)  # (T,)
     fits = block_end <= total_blocks
     overflow_budget = jnp.sum(jnp.where(fits, 0, counts[:num_tiles]))
     counts = counts.at[:num_tiles].set(jnp.where(fits, counts[:num_tiles], 0))
-    nb = jnp.maximum(1, -(-counts[:num_tiles] // g))
+    nb = -(-counts[:num_tiles] // g)
     block_off = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(nb).astype(jnp.int32)]
     )  # (T+1,)

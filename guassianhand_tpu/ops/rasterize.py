@@ -107,6 +107,12 @@ def _composite_fwd(mean2d, conic, color, opacity, pair_gidx, tile_of_block,
         num_tiles=num_tiles, ntx=ntx, tile_size=tile_size,
         block_size=block_size, interpret=interpret)
     tiles = out[:num_tiles]  # (T, 8, P)
+    # Empty tiles get no grid blocks (binning) so their rows are garbage:
+    # replace with the empty-scene values (color 0, T 1).
+    empty = (counts[:num_tiles] == 0)[:, None, None]
+    p = tile_size * tile_size
+    init_tile = jnp.zeros((8, p), jnp.float32).at[3].set(1.0)
+    tiles = jnp.where(empty, init_tile[None], tiles)
     rgb = _tiles_to_image(tiles[:, 0:3], height, width, tile_size)
     final_t = _tiles_to_image(tiles[:, 3:4], height, width, tile_size)[..., 0]
     residuals = (mean2d, conic, color, opacity, attr, pair_gidx,
