@@ -42,6 +42,19 @@ from guassianhand_tpu.ops.subdivision import (build_subdivision_plans,
 from guassianhand_tpu.data.rays import bounds_from_points, get_mask_at_box
 
 
+def color_jitter(img: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
+    """Brightness/contrast/saturation jitter for fitting augmentation
+    (dataset_one_shot.py:154-161 ranges). img: (H, W, 3) float [0,1]."""
+    b = rng.uniform(0.2, 2.0)
+    c = rng.uniform(0.3, 2.0)
+    s = rng.uniform(0.2, 2.0)
+    out = np.clip(img * b, 0, 1)
+    mean = out.mean()
+    out = np.clip((out - mean) * c + mean, 0, 1)
+    gray = out.mean(-1, keepdims=True)
+    return np.clip((out - gray) * s + gray, 0, 1).astype(np.float32)
+
+
 def fill_holes(mask: np.ndarray) -> np.ndarray:
     """Flood-fill hole closing (FillHole, dataset_one_shot.py:65-82) without
     cv2: fill the background from the border; everything not reached is hole."""
@@ -233,6 +246,22 @@ class InterHandDataset:
             bbox_mask = (bbox_mask >= 100).astype(np.uint8)
             if bbox_mask.ndim == 3:
                 bbox_mask = bbox_mask[..., 0]
+
+        if cfg.ratio != 1.0:
+            import PIL.Image
+
+            h, w = img.shape[:2]
+            nh, nw = int(h * cfg.ratio), int(w * cfg.ratio)
+            img = np.asarray(PIL.Image.fromarray(
+                (img * 255).astype(np.uint8)).resize((nw, nh)),
+                np.float32) / 255.0
+            mask = np.asarray(PIL.Image.fromarray(
+                (mask * 255).astype(np.uint8)).resize(
+                    (nw, nh), PIL.Image.NEAREST)) > 127
+            mask = mask.astype(np.uint8)
+            bbox_mask = np.asarray(PIL.Image.fromarray(
+                (bbox_mask * 255).astype(np.uint8)).resize(
+                    (nw, nh), PIL.Image.NEAREST)).astype(np.float32) / 255.0
 
         img = img * (mask > 0)[..., None]  # black background
         return img, mask.astype(np.float32), bbox_mask.astype(np.float32)

@@ -20,6 +20,21 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(coordinator: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up: single jax.distributed.initialize call (the TPU
+    counterpart of the reference's RANK/LOCAL_RANK env sniffing,
+    tgs/utils/misc.py:14-22 — on TPU pods jax discovers topology itself)."""
+    import jax
+
+    kwargs = {}
+    if coordinator:
+        kwargs = {"coordinator_address": coordinator,
+                  "num_processes": num_processes, "process_id": process_id}
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(n_data: Optional[int] = None, n_model: Optional[int] = None,
               devices: Optional[Sequence] = None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())

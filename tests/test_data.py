@@ -131,3 +131,25 @@ def test_profiling_utils():
     f = jax.jit(lambda x: x * 2)
     dt, res = timed(f, jnp.ones(8), iters=3, warmup=1)
     assert dt > 0 and np.asarray(res).sum() == 16
+
+
+def test_zbuffer_rasterize_points():
+    from guassianhand_tpu.core.camera import Camera
+    from guassianhand_tpu.ops.zbuffer import rasterize_points, fetch_image_features
+
+    K = np.array([[32.0, 0, 16], [0, 32.0, 16], [0, 0, 1]], np.float32)
+    w2c = np.eye(4, dtype=np.float32)
+    cam = Camera.from_w2c(w2c, K, 32, 32)
+    # two points projecting to the same pixel; nearer one must win
+    pts = jnp.array([[0.0, 0.0, 2.0], [0.0, 0.0, 1.0], [0.25, 0.0, 1.0]])
+    idx, depth = rasterize_points(pts, cam, 32, 32)
+    assert int(idx[16, 16]) == 1
+    np.testing.assert_allclose(float(depth[16, 16]), 1.0, atol=1e-6)
+    assert int(idx[16, 24]) == 2  # x=0.25 -> pixel 16+8
+    assert int(idx[0, 0]) == -1
+
+    fm = jnp.asarray(np.random.RandomState(0).uniform(
+        size=(32, 32, 4)), jnp.float32)
+    feats = fetch_image_features(pts, cam, fm)
+    np.testing.assert_allclose(np.asarray(feats[1]), np.asarray(fm[16, 16]),
+                               atol=1e-5)
