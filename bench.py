@@ -44,7 +44,12 @@ def main():
     w2c = np.eye(4, dtype=np.float32)
     w2c[2, 3] = 1.8
     cam = Camera.from_w2c(w2c, K, hw, hw)
-    cfg = RasterizeConfig(max_tiles_per_gaussian=16)
+    import os
+
+    cfg = RasterizeConfig(
+        max_tiles_per_gaussian=16,
+        block_size=int(os.environ.get("GH_BENCH_BLOCK", "128")),
+        tile_size=int(os.environ.get("GH_BENCH_TILE", "16")))
     tgt = jnp.asarray(rng.uniform(0, 1, (hw, hw, 3)).astype(np.float32))
 
     def loss_fn(xyz, scaling, rotation, opacity, shs):
