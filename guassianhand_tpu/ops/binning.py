@@ -137,8 +137,12 @@ def bin_gaussians(
     # (XLA scatter cost tracks updates, not unique targets), and histogram
     # via segment_sum serializes on duplicate indices.
     tile_ar = jnp.arange(num_tiles + 1, dtype=jnp.int32)
-    starts = jnp.searchsorted(tile_s, tile_ar, side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(tile_s, tile_ar, side="right").astype(jnp.int32)
+    # method='scan' = vectorized binary search (the default 'compare_all'
+    # materializes an O(N*T) comparison sweep)
+    starts = jnp.searchsorted(tile_s, tile_ar, side="left",
+                              method="scan").astype(jnp.int32)
+    ends = jnp.searchsorted(tile_s, tile_ar, side="right",
+                            method="scan").astype(jnp.int32)
     raw_counts = ends - starts  # (T+1,), last entry = invalid pairs
     cap = cfg.max_blocks_per_tile * g
     counts = jnp.minimum(raw_counts, cap).at[num_tiles].set(0)
