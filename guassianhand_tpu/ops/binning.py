@@ -123,11 +123,15 @@ def bin_gaussians(
     tile_id = jnp.where(valid, ty * ntx + tx, num_tiles).astype(jnp.int32)
 
     tile_flat = tile_id.reshape(-1)
-    depth_flat = jnp.broadcast_to(depth[:, None], (n, m)).reshape(-1)
     gidx_flat = jnp.broadcast_to(
         jnp.arange(n, dtype=jnp.int32)[:, None], (n, m)
     ).reshape(-1)
 
+    # 2-key stable lexicographic sort. A packed single-int32-key variant
+    # (tile << rank_bits | depth-rank) was measured SLOWER end-to-end
+    # (10.7M vs 15.0M rays/s at 512^2) despite fewer operands — XLA's TPU
+    # sort does not reward key packing; keep the direct form.
+    depth_flat = jnp.broadcast_to(depth[:, None], (n, m)).reshape(-1)
     tile_s, _, gidx_s = jax.lax.sort(
         (tile_flat, depth_flat, gidx_flat), num_keys=2, is_stable=True
     )
