@@ -114,3 +114,18 @@ def test_full_model_gradient_descent_fits(setup):
         p = optax.apply_updates(p, upd)
     assert np.isfinite(losses).all()
     assert min(losses[1:]) < losses[0], losses
+
+
+def test_edit_and_identity_book_paths(setup):
+    from guassianhand_tpu.render.renderer import EditConfig
+
+    model, params, batch = setup
+    base = model.apply(params, batch, HW, HW)
+    booked = model.apply(params, batch, HW, HW, identity_from_book=3)
+    edited = model.apply(params, batch, HW, HW,
+                         edit=EditConfig(enabled=True, duplication=True))
+    for out in (booked, edited):
+        assert np.isfinite(np.asarray(out["comp_rgb"])).all()
+    # the codebook identity differs from the one-shot code -> different render
+    assert not np.allclose(np.asarray(base["comp_rgb"]),
+                           np.asarray(booked["comp_rgb"]), atol=1e-6)
