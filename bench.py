@@ -61,13 +61,24 @@ def main():
 
     step = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4)))
     args = (gs.xyz, gs.scaling, gs.rotation, gs.opacity, gs.shs)
-    grads = step(*args)
+    # Vary the inputs each iteration (precomputed OUTSIDE the timed loop):
+    # the serving stack may cache identical execute requests, silently
+    # turning a repeated-same-input loop into a no-op, and eager per-iter
+    # arithmetic triggers fresh remote compiles. Verified: same-input 786k
+    # sort "costs" 0.035 ms vs 22.9 ms varying; precomputed-varied full step
+    # matches the same-input timing (the pipeline itself is not cacheable at
+    # this size), so this measurement is honest either way.
+    n_iters = 20
+    varied = [jnp.asarray(np.asarray(gs.xyz)
+                          + 1e-6 * rng.normal(size=gs.xyz.shape)
+                          .astype(np.float32)) for i in range(n_iters)]
+    jax.block_until_ready(varied)
+    grads = step(varied[0], *args[1:])
     jax.block_until_ready(grads)
 
-    n_iters = 20
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        grads = step(*args)
+    for i in range(n_iters):
+        grads = step(varied[i], *args[1:])
     jax.block_until_ready(grads)
     dt = time.perf_counter() - t0
 
