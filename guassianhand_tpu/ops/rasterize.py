@@ -96,34 +96,35 @@ def _composite(mean2d, conic, color, opacity, pair_gidx, tile_of_block,
     return out
 
 
+def _block_offsets(counts, num_tiles, block_size):
+    nb = -(-counts[:num_tiles] // block_size)
+    return jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(nb).astype(jnp.int32)])
+
+
 def _composite_fwd(mean2d, conic, color, opacity, pair_gidx, tile_of_block,
                    base_of_block, counts, height, width, tile_size,
                    block_size, max_blocks_per_tile, interpret):
     ntx, nty = binning_lib.grid_dims(height, width, tile_size)
     num_tiles = ntx * nty
     attr = _build_attr(mean2d, conic, color, opacity, pair_gidx)
-    out, tchk = kern.composite_forward(
-        attr, tile_of_block, base_of_block, counts,
+    block_off = _block_offsets(counts, num_tiles, block_size)
+    tiles = kern.composite_forward(
+        attr, block_off, counts,
         num_tiles=num_tiles, ntx=ntx, tile_size=tile_size,
-        block_size=block_size, interpret=interpret)
-    tiles = out[:num_tiles]  # (T, 8, P)
-    # Empty tiles get no grid blocks (binning) so their rows are garbage:
-    # replace with the empty-scene values (color 0, T 1).
-    empty = (counts[:num_tiles] == 0)[:, None, None]
-    p = tile_size * tile_size
-    init_tile = jnp.zeros((8, p), jnp.float32).at[3].set(1.0)
-    tiles = jnp.where(empty, init_tile[None], tiles)
+        block_size=block_size, max_blocks_per_tile=max_blocks_per_tile,
+        interpret=interpret)  # (T, 8, P)
     rgb = _tiles_to_image(tiles[:, 0:3], height, width, tile_size)
     final_t = _tiles_to_image(tiles[:, 3:4], height, width, tile_size)[..., 0]
     residuals = (mean2d, conic, color, opacity, attr, pair_gidx,
-                 tile_of_block, base_of_block, counts, tiles[:, 3], tchk)
+                 tile_of_block, base_of_block, block_off, counts, tiles[:, 3])
     return (rgb, final_t), residuals
 
 
 def _composite_bwd(height, width, tile_size, block_size, max_blocks_per_tile,
                    interpret, residuals, cotangents):
     (mean2d, conic, color, opacity, attr, pair_gidx, tile_of_block,
-     base_of_block, counts, tfinal_tiles, tchk) = residuals
+     base_of_block, block_off, counts, tfinal_tiles) = residuals
     g_rgb, g_t = cotangents
     ntx, nty = binning_lib.grid_dims(height, width, tile_size)
     num_tiles = ntx * nty
@@ -136,13 +137,13 @@ def _composite_bwd(height, width, tile_size, block_size, max_blocks_per_tile,
     g_rgb_tiles = _image_to_tiles(g_rgb_pad, tile_size)  # (T, 3, P)
     g_t_tiles = _image_to_tiles(g_t_pad, tile_size)[:, 0]  # (T, P)
 
-    gtiles = jnp.zeros((num_tiles + 1, 8, p), jnp.float32)
-    gtiles = gtiles.at[:num_tiles, 0:3].set(g_rgb_tiles)
-    gtiles = gtiles.at[:num_tiles, 3].set(g_t_tiles)
-    gtiles = gtiles.at[:num_tiles, 4].set(tfinal_tiles)
+    gtiles = jnp.zeros((num_tiles, 8, p), jnp.float32)
+    gtiles = gtiles.at[:, 0:3].set(g_rgb_tiles)
+    gtiles = gtiles.at[:, 3].set(g_t_tiles)
+    gtiles = gtiles.at[:, 4].set(tfinal_tiles)
 
     pair_grads = kern.composite_backward(
-        attr, gtiles, tchk, tile_of_block, base_of_block, counts,
+        attr, gtiles, block_off, counts,
         num_tiles=num_tiles, ntx=ntx, tile_size=tile_size,
         block_size=block_size, max_blocks_per_tile=max_blocks_per_tile,
         interpret=interpret)  # (16, PP)

@@ -11,15 +11,22 @@ onto the MXU:
 
 The cumulative sum along the depth-sorted Gaussian axis is a triangular-matrix
 matmul, so the whole tile composite is (P x G) element-wise VPU work plus three
-MXU matmuls per block. The only sequential state is the per-pixel transmittance
-carried across blocks of the same tile (and, in the backward pass, the suffix
-accumulator — the TPU analog of the CUDA back-to-front replay, with per-pair
-partial gradients reduced by segment_sum instead of atomicAdd).
+MXU matmuls per pair block. The only sequential state is the per-pixel
+transmittance carried across a tile's blocks (and, in the backward pass, the
+suffix accumulator — the TPU analog of the CUDA back-to-front replay, with
+per-pair partial gradients reduced by segment_sum instead of atomicAdd).
 
-Grid layout: one grid step per fixed-size pair block; blocks of the same tile
-are consecutive, so the output tile block stays resident in VMEM and acts as
-the accumulator (standard Pallas revisiting pattern). Per-tile slab metadata is
-delivered via scalar prefetch. No dynamic shapes anywhere.
+Grid layout: ONE grid step per image tile; the step walks its (dynamic-length)
+slab of depth-sorted pair blocks with a double-buffered HBM->VMEM DMA loop.
+Measured on v5e, Mosaic grid-step overhead is ~3 us regardless of work, so a
+block-per-step layout was overhead-bound (~7 ms of pure grid walk at 512^2);
+the per-tile loop removes it. Slab offsets arrive via scalar prefetch; slab
+starts are block_size-aligned by construction (ops/binning.py), keeping every
+DMA aligned. No dynamic shapes anywhere.
+
+The backward runs one grid step per tile as well: a forward replay loop
+checkpoints per-block transmittance into VMEM scratch, then a reverse loop
+computes per-pair gradients and DMAs them out block by block.
 
 Acceptance semantics replicate the CUDA kernel exactly (see ops/common.py).
 """
@@ -94,120 +101,148 @@ def _tri_strict_lower(g: int):
     return (r > c).astype(jnp.float32)
 
 
-def _fwd_kernel(tob_ref, base_ref, cnt_ref, attr_ref, out_ref, tchk_ref,
-                tcarry, *, ntx: int, tile_size: int, g: int):
+def _forward_block(attr, px, py, base, cnt, tc, g: int):
+    """One composite block: returns (color_contrib (3, P), t_new (P, 1))."""
+    alpha, _, _, _, _, _ = _block_alpha(attr, px, py, base, cnt, g)
+    glog = jnp.log(1.0 - alpha)
+    cume = jax.lax.dot_general(
+        glog, _tri_strict_upper(g), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    cpexc = tc * jnp.exp(cume)
+    cpincl = cpexc * (1.0 - alpha)
+    acc = (cpincl >= T_EPS).astype(jnp.float32)
+    w = alpha * cpexc * acc  # (P, G)
+    cattr = attr[5:8, :]
+    contrib = jax.lax.dot_general(
+        cattr, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    t_new = jnp.min(jnp.where(acc > 0, cpincl, tc), axis=1, keepdims=True)
+    return contrib, t_new
+
+
+def _fwd_kernel(off_ref, cnt_ref, attr_hbm, out_ref, buf, sem,
+                *, ntx: int, tile_size: int, g: int, max_blocks: int):
     p = tile_size * tile_size
-    i = pl.program_id(0)
-    t = tob_ref[i]
-    base = base_ref[i]
+    t = pl.program_id(0)
     cnt = cnt_ref[t]
+    nb = pl.cdiv(cnt, g)
+    slab = off_ref[t]  # g-aligned slot offset of this tile's slab
 
-    @pl.when(base == 0)
-    def _init():
-        out_ref[:] = jnp.zeros_like(out_ref)
-        tcarry[:] = jnp.ones_like(tcarry)
+    px, py = _pixel_coords(t, ntx, tile_size, p)
+    out_ref[:] = jnp.zeros_like(out_ref)
 
-    # checkpoint the transmittance at block start — the backward pass reads
-    # these instead of replaying the forward (single-phase backward). The
-    # checkpoint array is row-grouped by 8 to satisfy Mosaic's (8, 128) block
-    # tiling; this step owns row i % 8 of block i // 8.
-    tchk_ref[pl.ds(i % 8, 1), :] = tcarry[:].reshape(1, p)
+    def dma(slot, b):
+        return pltpu.make_async_copy(
+            attr_hbm.at[:, pl.ds(pl.multiple_of(slab + b * g, g), g)],
+            buf.at[slot],
+            sem.at[slot])
 
-    @pl.when(cnt > base)  # skip empty/dummy blocks entirely
-    def _compute():
-        px, py = _pixel_coords(t, ntx, tile_size, p)
-        attr = attr_ref[:]
-        alpha, _, _, _, _, _ = _block_alpha(attr, px, py, base, cnt, g)
+    @pl.when(nb > 0)
+    def _():
+        dma(0, 0).start()
 
-        glog = jnp.log(1.0 - alpha)
-        cume = jax.lax.dot_general(
-            glog, _tri_strict_upper(g), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        tc = tcarry[:]  # (P, 1)
-        cpexc = tc * jnp.exp(cume)
-        cpincl = cpexc * (1.0 - alpha)
-        acc = (cpincl >= T_EPS).astype(jnp.float32)
-        w = alpha * cpexc * acc  # (P, G)
+    def body(b, tc):
+        cur = b % 2
 
-        cattr = attr[5:8, :]  # (3, G)
-        out_ref[0, 0:3, :] += jax.lax.dot_general(
-            cattr, w, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        tcarry[:] = jnp.min(jnp.where(acc > 0, cpincl, tc), axis=1,
-                            keepdims=True)
+        @pl.when(b + 1 < nb)
+        def _():
+            dma((b + 1) % 2, b + 1).start()
 
-    @pl.when(base + g >= cnt)
-    def _finalize():
-        out_ref[0, 3:4, :] = tcarry[:].reshape(1, p)
+        dma(cur, b).wait()
+        contrib, t_new = _forward_block(buf[cur], px, py, b * g, cnt, tc, g)
+        out_ref[0, 0:3, :] += contrib
+        return t_new
+
+    t_final = jax.lax.fori_loop(0, nb, body, jnp.ones((p, 1), jnp.float32))
+    out_ref[0, 3:4, :] = t_final.reshape(1, p)
 
 
-def composite_forward(attr, tile_of_block, base_of_block, counts,
+def composite_forward(attr, block_off, counts,
                       *, num_tiles: int, ntx: int, tile_size: int,
-                      block_size: int, interpret: bool = False):
-    """attr: (16, PP) fp32. Returns (out (T+1, 8, P), tchk (TB, P)):
-    out rows 0-2 color, row 3 final T; tchk = per-block start transmittance
-    checkpoints consumed by the backward pass."""
+                      block_size: int, max_blocks_per_tile: int,
+                      interpret: bool = False):
+    """attr: (16, PP) fp32; block_off: (T+1,) block offsets (units of blocks);
+    counts: (T+1,). Returns out (T, 8, P): rows 0-2 color, 3 final T."""
     p = tile_size * tile_size
-    total_blocks = tile_of_block.shape[0]
+    pad_off = block_off * block_size  # slot offset per tile
     kernel = functools.partial(_fwd_kernel, ntx=ntx, tile_size=tile_size,
-                               g=block_size)
+                               g=block_size, max_blocks=max_blocks_per_tile)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(total_blocks,),
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec((ATTR_ROWS, block_size), lambda i, *_: (0, i),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # attr stays in HBM
         ],
-        out_specs=(
-            pl.BlockSpec((1, 8, p), lambda i, tob, *_: (tob[i], 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, p), lambda i, *_: (i // 8, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        scratch_shapes=[pltpu.VMEM((p, 1), jnp.float32)],
+        out_specs=pl.BlockSpec((1, 8, p), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, ATTR_ROWS, block_size), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
     )
-    tchk_rows = -(-total_blocks // 8) * 8
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((num_tiles + 1, 8, p), jnp.float32),
-            jax.ShapeDtypeStruct((tchk_rows, p), jnp.float32),
-        ),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, 8, p), jnp.float32),
         interpret=interpret,
-    )(tile_of_block, base_of_block, counts, attr)
+    )(pad_off, counts, attr)
 
 
-def _bwd_kernel(step_block, step_tile, step_base, cnt_ref,
-                attr_ref, gtile_ref, tchk_ref, grad_ref, carry_r,
-                *, ntx: int, tile_size: int, g: int):
-    """Single-phase backward: blocks of each tile visited in REVERSE depth
-    order; the per-block start transmittance comes from the forward pass's
-    checkpoints (tchk input), so no replay phase is needed."""
+def _bwd_kernel(off_ref, cnt_ref, attr_hbm, gtile_ref, grad_hbm,
+                abuf, asem, tchk, gbuf, gsem,
+                *, ntx: int, tile_size: int, g: int, max_blocks: int):
     p = tile_size * tile_size
-    i = pl.program_id(0)
-    t = step_tile[i]
-    base = step_base[i]
+    t = pl.program_id(0)
     cnt = cnt_ref[t]
+    nb = pl.cdiv(cnt, g)
+    slab = off_ref[t]
 
-    blk = step_block[i]
+    px, py = _pixel_coords(t, ntx, tile_size, p)
     gt = gtile_ref[0]  # (8, P): 0-2 grad color, 3 gT_total, 4 T_final
 
-    @pl.when(base + g >= cnt)  # first backward step of this tile
+    def dma_in(slot, b):
+        return pltpu.make_async_copy(
+            attr_hbm.at[:, pl.ds(pl.multiple_of(slab + b * g, g), g)],
+            abuf.at[slot],
+            asem.at[slot])
+
+    # Phase 1: forward replay, checkpointing T at each block start.
+    @pl.when(nb > 0)
     def _():
-        carry_r[:] = (gt[3:4, :] * gt[4:5, :]).reshape(p, 1)
+        dma_in(0, 0).start()
 
-    grad_ref[:] = jnp.zeros_like(grad_ref)
+    def fwd_body(b, tc):
+        cur = b % 2
 
-    @pl.when(cnt > base)
-    def _compute():
-        px, py = _pixel_coords(t, ntx, tile_size, p)
-        attr = attr_ref[:]
+        @pl.when(b + 1 < nb)
+        def _():
+            dma_in((b + 1) % 2, b + 1).start()
+
+        dma_in(cur, b).wait()
+        tchk[pl.ds(b, 1), :] = tc.reshape(1, p)
+        _, t_new = _forward_block(abuf[cur], px, py, b * g, cnt, tc, g)
+        return t_new
+
+    jax.lax.fori_loop(0, nb, fwd_body, jnp.ones((p, 1), jnp.float32))
+
+    # Phase 2: reverse sweep with suffix accumulator; grads DMA'd per block.
+    @pl.when(nb > 0)
+    def _():
+        dma_in(0, nb - 1).start()
+
+    def bwd_body(k, r_carry):
+        # k = 0 .. nb-1 walks blocks in reverse: b = nb-1-k
+        b = nb - 1 - k
+        cur = k % 2
+
+        @pl.when(k + 1 < nb)
+        def _():
+            dma_in((k + 1) % 2, b - 1).start()
+
+        dma_in(cur, b).wait()
+        attr = abuf[cur]
         alpha, alpha_raw, exp_power, dx, dy, (ca, cb, cc) = _block_alpha(
-            attr, px, py, base, cnt, g)
-        tstart = tchk_ref[pl.ds(blk % 8, 1), :].reshape(p, 1)
+            attr, px, py, b * g, cnt, g)
+        tstart = tchk[pl.ds(b, 1), :].reshape(p, 1)
         glog = jnp.log(1.0 - alpha)
         cume = jax.lax.dot_general(
             glog, _tri_strict_upper(g), (((1,), (0,)), ((), ())),
@@ -219,15 +254,14 @@ def _bwd_kernel(step_block, step_tile, step_base, cnt_ref,
 
         gimg = gt[0:3, :]  # (3, P)
         cattr = attr[5:8, :]
-        # e[p, i] = sum_ch g[ch, p] * c[ch, i]
-        e = jax.lax.dot_general(
+        e = jax.lax.dot_general(  # e[p, i] = sum_ch g[ch, p] c[ch, i]
             gimg, cattr, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)  # (P, G)
         we = w * e
         suffix = jax.lax.dot_general(
             we, _tri_strict_lower(g), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        r_i = suffix + carry_r[:]
+        r_i = suffix + r_carry
         g_div = 1.0 - alpha
         live = acc * (alpha > 0.0).astype(jnp.float32)
         dalpha = (e * cpexc - r_i / g_div) * live
@@ -243,77 +277,88 @@ def _bwd_kernel(step_block, step_tile, step_base, cnt_ref,
             gimg, w, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)  # (3, G)
 
-        grad_ref[0:1, :] = ddx
-        grad_ref[1:2, :] = ddy
-        grad_ref[2:3, :] = da
-        grad_ref[3:4, :] = db
-        grad_ref[4:5, :] = dc
-        grad_ref[5:8, :] = dcol
-        grad_ref[8:9, :] = dopa
+        # Double-buffered grad write-back: before reusing a slot, retire the
+        # DMA started from it two iterations ago.
+        gslot = k % 2
 
-        carry_r[:] = carry_r[:] + jnp.sum(we, axis=1, keepdims=True)
+        def dma_out(slot, blk):
+            return pltpu.make_async_copy(
+                gbuf.at[slot],
+                grad_hbm.at[:, pl.ds(pl.multiple_of(slab + blk * g, g), g)],
+                gsem.at[slot])
+
+        @pl.when(k >= 2)
+        def _():
+            dma_out(gslot, b + 2).wait()
+
+        gbuf[gslot, 0:1, :] = ddx
+        gbuf[gslot, 1:2, :] = ddy
+        gbuf[gslot, 2:3, :] = da
+        gbuf[gslot, 3:4, :] = db
+        gbuf[gslot, 4:5, :] = dc
+        gbuf[gslot, 5:8, :] = dcol
+        gbuf[gslot, 8:9, :] = dopa
+        gbuf[gslot, 9:, :] = jnp.zeros_like(gbuf[gslot, 9:, :])
+        dma_out(gslot, b).start()
+
+        return r_carry + jnp.sum(we, axis=1, keepdims=True)
+
+    r0 = (gt[3:4, :] * gt[4:5, :]).reshape(p, 1)
+    jax.lax.fori_loop(0, nb, bwd_body, r0)
+
+    # Drain the in-flight grad DMAs (one per live slot).
+    def drain(slot, blk):
+        pltpu.make_async_copy(
+            gbuf.at[slot],
+            grad_hbm.at[:, pl.ds(pl.multiple_of(slab + blk * g, g), g)],
+            gsem.at[slot]).wait()
+
+    @pl.when(nb > 0)
+    def _():
+        drain((nb - 1) % 2, 0)  # DMA started at k = nb-1 (block 0)
+
+    @pl.when(nb > 1)
+    def _():
+        drain(nb % 2, 1)  # DMA started at k = nb-2 (block 1)
 
 
-def composite_backward(attr, gtiles, tchk, tile_of_block, base_of_block,
-                       counts, *, num_tiles: int, ntx: int, tile_size: int,
+def composite_backward(attr, gtiles, block_off, counts,
+                       *, num_tiles: int, ntx: int, tile_size: int,
                        block_size: int, max_blocks_per_tile: int,
                        interpret: bool = False):
-    """Backward composite (single phase; see _bwd_kernel).
+    """Backward composite (per-tile replay + reverse sweep).
 
     attr:   (16, PP) as in forward.
-    gtiles: (T+1, 8, P): rows 0-2 dL/dcolor, 3 total dL/dT_final, 4 T_final.
-    tchk:   (TB, P) forward transmittance checkpoints.
+    gtiles: (T, 8, P): rows 0-2 dL/dcolor, 3 total dL/dT_final, 4 T_final.
     Returns per-pair gradients (16, PP).
     """
     p = tile_size * tile_size
-    tb = tile_of_block.shape[0]
-
-    # Schedule: blocks of each tile in reverse order (tiles stay in order so
-    # the gtile input block remains resident across a tile's steps).
-    # Blocks of a tile are contiguous: find run boundaries and scatter with
-    # UNIQUE indices (duplicate-index scatter-min/max serializes on TPU).
-    order_fwd = jnp.arange(tb, dtype=jnp.int32)
-    tob = tile_of_block
-    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), tob[:-1]])
-    nxt = jnp.concatenate([tob[1:], jnp.full((1,), -1, jnp.int32)])
-    oob = num_tiles + 2
-    first_of_tile = jnp.zeros((num_tiles + 2,), jnp.int32).at[
-        jnp.where(tob != prev, tob, oob)].set(order_fwd, mode="drop")
-    last_of_tile = jnp.zeros((num_tiles + 2,), jnp.int32).at[
-        jnp.where(tob != nxt, tob, oob)].set(order_fwd, mode="drop")
-    sched_block = first_of_tile[tob] + last_of_tile[tob] - order_fwd
-    sched_tile = tob[sched_block]
-    sched_base = base_of_block[sched_block]
-
+    pp = attr.shape[1]
+    pad_off = block_off * block_size
     kernel = functools.partial(_bwd_kernel, ntx=ntx, tile_size=tile_size,
-                               g=block_size)
+                               g=block_size, max_blocks=max_blocks_per_tile)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(tb,),
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec((ATTR_ROWS, block_size),
-                         lambda i, sb, *_: (0, sb[i]),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, p),
-                         lambda i, sb, st, *_: (st[i], 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, p),
-                         lambda i, sb, *_: (sb[i] // 8, 0),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # attr in HBM
+            pl.BlockSpec((1, 8, p), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (GRAD_ROWS, block_size),
-            lambda i, sb, *_: (0, sb[i]),
-            memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),  # grads in HBM
         scratch_shapes=[
-            pltpu.VMEM((p, 1), jnp.float32),  # suffix carry R
+            pltpu.VMEM((2, ATTR_ROWS, block_size), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((max_blocks_per_tile, p), jnp.float32),  # T checkpoints
+            pltpu.VMEM((2, GRAD_ROWS, block_size), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     grads = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((GRAD_ROWS, tb * block_size),
-                                       jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((GRAD_ROWS, pp), jnp.float32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(sched_block, sched_tile, sched_base, counts, attr, gtiles, tchk)
+    )(pad_off, counts, attr, gtiles)
     return grads
