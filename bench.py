@@ -61,6 +61,16 @@ def main():
 
     step = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4)))
     args = (gs.xyz, gs.scaling, gs.rotation, gs.opacity, gs.shs)
+
+    # The throughput claim is only honest if no (gaussian, tile) pairs were
+    # dropped by the binning caps — assert, don't just count.
+    diag = jax.jit(lambda xyz: rasterize(
+        Gaussians(xyz=xyz, opacity=gs.opacity, rotation=gs.rotation,
+                  scaling=gs.scaling, shs=gs.shs),
+        cam, height=hw, width=hw, use_rgb=True, config=cfg))(gs.xyz)
+    overflow = int(diag["overflow"])
+    n_pairs = int(diag["n_pairs"])
+    assert overflow == 0, f"binning dropped {overflow} pairs — raise caps"
     # Vary the inputs each iteration (precomputed OUTSIDE the timed loop):
     # the serving stack may cache identical execute requests, silently
     # turning a repeated-same-input loop into a no-op, and eager per-iter
@@ -88,6 +98,8 @@ def main():
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 4),
+        "n_pairs": n_pairs,
+        "overflow": overflow,
     }))
 
 

@@ -109,21 +109,21 @@ def _composite_fwd(mean2d, conic, color, opacity, pair_gidx, tile_of_block,
     num_tiles = ntx * nty
     attr = _build_attr(mean2d, conic, color, opacity, pair_gidx)
     block_off = _block_offsets(counts, num_tiles, block_size)
-    tiles = kern.composite_forward(
+    tiles, tchk = kern.composite_forward(
         attr, block_off, counts,
         num_tiles=num_tiles, ntx=ntx, tile_size=tile_size,
         block_size=block_size, max_blocks_per_tile=max_blocks_per_tile,
-        interpret=interpret)  # (T, 8, P)
+        interpret=interpret)  # (T, 8, P), (TBk, P)
     rgb = _tiles_to_image(tiles[:, 0:3], height, width, tile_size)
     final_t = _tiles_to_image(tiles[:, 3:4], height, width, tile_size)[..., 0]
-    residuals = (mean2d, conic, color, opacity, attr, pair_gidx,
+    residuals = (mean2d, conic, color, opacity, attr, tchk, pair_gidx,
                  tile_of_block, base_of_block, block_off, counts, tiles[:, 3])
     return (rgb, final_t), residuals
 
 
 def _composite_bwd(height, width, tile_size, block_size, max_blocks_per_tile,
                    interpret, residuals, cotangents):
-    (mean2d, conic, color, opacity, attr, pair_gidx, tile_of_block,
+    (mean2d, conic, color, opacity, attr, tchk, pair_gidx, tile_of_block,
      base_of_block, block_off, counts, tfinal_tiles) = residuals
     g_rgb, g_t = cotangents
     ntx, nty = binning_lib.grid_dims(height, width, tile_size)
@@ -143,7 +143,7 @@ def _composite_bwd(height, width, tile_size, block_size, max_blocks_per_tile,
     gtiles = gtiles.at[:, 4].set(tfinal_tiles)
 
     pair_grads = kern.composite_backward(
-        attr, gtiles, block_off, counts,
+        attr, tchk, gtiles, block_off, counts, tile_of_block, base_of_block,
         num_tiles=num_tiles, ntx=ntx, tile_size=tile_size,
         block_size=block_size, max_blocks_per_tile=max_blocks_per_tile,
         interpret=interpret)  # (16, PP)

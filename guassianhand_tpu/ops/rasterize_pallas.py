@@ -10,23 +10,28 @@ onto the MXU:
     color = W^T @ C            (per-tile matmuls)
 
 The cumulative sum along the depth-sorted Gaussian axis is a triangular-matrix
-matmul, so the whole tile composite is (P x G) element-wise VPU work plus three
+matmul, so the whole tile composite is (P x G) element-wise VPU work plus a few
 MXU matmuls per pair block. The only sequential state is the per-pixel
 transmittance carried across a tile's blocks (and, in the backward pass, the
 suffix accumulator — the TPU analog of the CUDA back-to-front replay, with
-per-pair partial gradients reduced by segment_sum instead of atomicAdd).
+per-pair partial gradients reduced by a segmented sum instead of atomicAdd).
 
-Grid layout: ONE grid step per image tile; the step walks its (dynamic-length)
-slab of depth-sorted pair blocks with a double-buffered HBM->VMEM DMA loop.
-Measured on v5e, Mosaic grid-step overhead is ~3 us regardless of work, so a
-block-per-step layout was overhead-bound (~7 ms of pure grid walk at 512^2);
-the per-tile loop removes it. Slab offsets arrive via scalar prefetch; slab
-starts are block_size-aligned by construction (ops/binning.py), keeping every
-DMA aligned. No dynamic shapes anywhere.
+Grid layout: ONE grid step for the whole image. Measured on v5e, Mosaic charges
+~3 us of sequencing overhead per grid step regardless of work, so both earlier
+layouts (one step per pair block, then one step per tile — 1024 steps at 512^2,
+twice for fwd+bwd ~= 6 ms of pure grid walk) were overhead-bound. The single
+step walks every tile's (dynamic-length) slab of depth-sorted pair blocks with
+a double-buffered HBM->VMEM DMA loop; the slab is CONTIGUOUS across tiles
+(ops/binning.py lays tiles' block runs back to back), so the stream prefetches
+across tile boundaries with no stalls. Outputs are written back with chunked
+DMAs (OUT_CHUNK tiles per descriptor). Slab starts are block_size-aligned by
+construction; `pl.multiple_of` alignment hints are REQUIRED for dynamic HBM
+slices or Mosaic refuses to compile. No dynamic shapes anywhere.
 
-The backward runs one grid step per tile as well: a forward replay loop
-checkpoints per-block transmittance into VMEM scratch, then a reverse loop
-computes per-pair gradients and DMAs them out block by block.
+The forward also streams out per-block transmittance checkpoints (T at each
+block start, batched K_CHUNK blocks per DMA). The backward consumes them in a
+single descending sweep over the flat block list — no forward replay pass —
+computing per-pair gradients and DMAing them out block by block.
 
 Acceptance semantics replicate the CUDA kernel exactly (see ops/common.py).
 """
@@ -47,6 +52,13 @@ NEG_CLAMP = -30.0  # exp(-30) == 0 in fp32's useful range; masks garbage slots
 ATTR_ROWS = 16
 # grad rows: 0:dx 1:dy 2:dA 3:dB 4:dC 5:dr 6:dg 7:db 8:dopacity
 GRAD_ROWS = 16
+
+OUT_CHUNK = 8   # tiles buffered per output DMA
+K_CHUNK = 8     # T-checkpoint rows buffered per DMA
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
 
 
 def _pixel_coords(t, ntx: int, tile_size: int, p: int):
@@ -87,73 +99,153 @@ def _block_alpha(attr, px, py, base, cnt, g: int):
     return alpha, alpha_raw, exp_power, dx, dy, (ca, cb, cc)
 
 
-def _tri_strict_upper(g: int):
-    """M[j, i] = 1 if j < i — right-matmul gives exclusive prefix sums."""
-    r = jax.lax.broadcasted_iota(jnp.int32, (g, g), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (g, g), 1)
-    return (r < c).astype(jnp.float32)
+def _prefix_products(g1, g: int):
+    """Exclusive/inclusive prefix products along the lane axis.
 
-
-def _tri_strict_lower(g: int):
-    """M[j, i] = 1 if j > i — right-matmul gives exclusive suffix sums."""
-    r = jax.lax.broadcasted_iota(jnp.int32, (g, g), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (g, g), 1)
-    return (r > c).astype(jnp.float32)
+    Hillis-Steele tree scan via masked cyclic lane rolls: exact fp32 multiply
+    chains, matching the oracle's cumprod to association order (a few ulps).
+    The earlier exp(cumsum(log)) formulation — a triangular MXU matmul —
+    drifted ~1e-3 against the oracle on TPU, whose exp/log are approximate;
+    this is both exact and cheaper (log2(G) VPU ops vs a G^2 matmul).
+    """
+    lane = jax.lax.broadcasted_iota(jnp.int32, g1.shape, 1)
+    x = g1
+    s = 1
+    while s < g:
+        x = x * jnp.where(lane >= s, pltpu.roll(x, s, axis=1), 1.0)
+        s *= 2
+    excl = jnp.where(lane >= 1, pltpu.roll(x, 1, axis=1), 1.0)
+    return excl, x
 
 
 def _forward_block(attr, px, py, base, cnt, tc, g: int):
     """One composite block: returns (color_contrib (3, P), t_new (P, 1))."""
     alpha, _, _, _, _, _ = _block_alpha(attr, px, py, base, cnt, g)
-    glog = jnp.log(1.0 - alpha)
-    cume = jax.lax.dot_general(
-        glog, _tri_strict_upper(g), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    cpexc = tc * jnp.exp(cume)
-    cpincl = cpexc * (1.0 - alpha)
+    excl, incl = _prefix_products(1.0 - alpha, g)  # masked slots: alpha == 0
+    cpexc = tc * excl
+    cpincl = tc * incl
     acc = (cpincl >= T_EPS).astype(jnp.float32)
     w = alpha * cpexc * acc  # (P, G)
     cattr = attr[5:8, :]
     contrib = jax.lax.dot_general(
         cattr, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    # cpincl is non-increasing, so min over accepted == T after the last
+    # accepted pair; exact because cpincl is an exact product chain.
     t_new = jnp.min(jnp.where(acc > 0, cpincl, tc), axis=1, keepdims=True)
     return contrib, t_new
 
 
-def _fwd_kernel(off_ref, cnt_ref, attr_hbm, out_ref, buf, sem,
-                *, ntx: int, tile_size: int, g: int, max_blocks: int):
+def _fwd_kernel(boff_ref, cnt_ref, attr_hbm, out_hbm, tchk_hbm,
+                abuf, asem, obuf, osem, kbuf, ksem,
+                *, ntx: int, tile_size: int, g: int, num_tiles: int,
+                num_tiles_pad: int):
     p = tile_size * tile_size
-    t = pl.program_id(0)
-    cnt = cnt_ref[t]
-    nb = pl.cdiv(cnt, g)
-    slab = off_ref[t]  # g-aligned slot offset of this tile's slab
+    c_total = boff_ref[num_tiles]
 
-    px, py = _pixel_coords(t, ntx, tile_size, p)
-    out_ref[:] = jnp.zeros_like(out_ref)
-
-    def dma(slot, b):
+    def dma_attr(slot, blk):
         return pltpu.make_async_copy(
-            attr_hbm.at[:, pl.ds(pl.multiple_of(slab + b * g, g), g)],
-            buf.at[slot],
-            sem.at[slot])
+            attr_hbm.at[:, pl.ds(pl.multiple_of(blk * g, g), g)],
+            abuf.at[slot], asem.at[slot])
 
-    @pl.when(nb > 0)
+    def dma_out(slot, chunk):
+        return pltpu.make_async_copy(
+            obuf.at[slot],
+            out_hbm.at[pl.ds(pl.multiple_of(chunk * OUT_CHUNK, OUT_CHUNK),
+                             OUT_CHUNK)],
+            osem.at[slot])
+
+    def dma_k(slot, kc):
+        return pltpu.make_async_copy(
+            kbuf.at[slot],
+            tchk_hbm.at[pl.ds(pl.multiple_of(kc * K_CHUNK, K_CHUNK), K_CHUNK)],
+            ksem.at[slot])
+
+    @pl.when(c_total > 0)
     def _():
-        dma(0, 0).start()
+        dma_attr(0, 0).start()
 
-    def body(b, tc):
-        cur = b % 2
+    def tile_body(t, _):
+        c0 = boff_ref[t]
+        nb = boff_ref[t + 1] - c0
+        cnt = cnt_ref[t]
+        px, py = _pixel_coords(t, ntx, tile_size, p)
 
-        @pl.when(b + 1 < nb)
+        def blk_body(b, carry):
+            tc, acc = carry
+            blk = c0 + b
+            cur = blk % 2
+
+            @pl.when(blk + 1 < c_total)
+            def _():
+                dma_attr((blk + 1) % 2, blk + 1).start()
+
+            dma_attr(cur, blk).wait()
+
+            # Checkpoint T at block start into the batched tchk stream.
+            kc = blk // K_CHUNK
+            kslot = kc % 2
+
+            @pl.when((blk % K_CHUNK == 0) & (kc >= 2))
+            def _():
+                dma_k(kslot, kc - 2).wait()
+
+            kbuf[kslot, pl.ds(blk % K_CHUNK, 1)] = tc.reshape(1, p)
+
+            @pl.when(blk % K_CHUNK == K_CHUNK - 1)
+            def _():
+                dma_k(kslot, kc).start()
+
+            contrib, t_new = _forward_block(abuf[cur], px, py, b * g, cnt,
+                                            tc, g)
+            return t_new, acc + contrib
+
+        tc0 = jnp.ones((p, 1), jnp.float32)
+        acc0 = jnp.zeros((3, p), jnp.float32)
+        t_final, acc = jax.lax.fori_loop(0, nb, blk_body, (tc0, acc0))
+
+        # Stage the finished tile into the chunked output buffer.
+        oc = t // OUT_CHUNK
+        oslot = oc % 2
+        tpos = t % OUT_CHUNK
+
+        @pl.when((tpos == 0) & (oc >= 2))
         def _():
-            dma((b + 1) % 2, b + 1).start()
+            dma_out(oslot, oc - 2).wait()
 
-        dma(cur, b).wait()
-        contrib, t_new = _forward_block(buf[cur], px, py, b * g, cnt, tc, g)
-        out_ref[0, 0:3, :] += contrib
-        return t_new
+        row = jnp.concatenate(
+            [acc, t_final.reshape(1, p), jnp.zeros((4, p), jnp.float32)],
+            axis=0)
+        obuf[oslot, pl.ds(tpos, 1)] = row.reshape(1, 8, p)
 
-    t_final = jax.lax.fori_loop(0, nb, body, jnp.ones((p, 1), jnp.float32))
-    out_ref[0, 3:4, :] = t_final.reshape(1, p)
+        @pl.when(tpos == OUT_CHUNK - 1)
+        def _():
+            dma_out(oslot, oc).start()
+
+        return 0
+
+    jax.lax.fori_loop(0, num_tiles_pad, tile_body, 0)
+
+    # Drain: flush a trailing partial tchk chunk, then retire in-flight DMAs.
+    n_kc = pl.cdiv(c_total, K_CHUNK)
+
+    @pl.when(c_total % K_CHUNK != 0)
+    def _():
+        dma_k((n_kc - 1) % 2, n_kc - 1).start()
+
+    @pl.when(n_kc >= 1)
+    def _():
+        dma_k((n_kc - 1) % 2, n_kc - 1).wait()
+
+    @pl.when(n_kc >= 2)
+    def _():
+        dma_k((n_kc - 2) % 2, n_kc - 2).wait()
+
+    n_oc = num_tiles_pad // OUT_CHUNK
+    dma_out((n_oc - 1) % 2, n_oc - 1).wait()
+
+    @pl.when(n_oc >= 2)
+    def _():
+        dma_out((n_oc - 2) % 2, n_oc - 2).wait()
 
 
 def composite_forward(attr, block_off, counts,
@@ -161,94 +253,139 @@ def composite_forward(attr, block_off, counts,
                       block_size: int, max_blocks_per_tile: int,
                       interpret: bool = False):
     """attr: (16, PP) fp32; block_off: (T+1,) block offsets (units of blocks);
-    counts: (T+1,). Returns out (T, 8, P): rows 0-2 color, 3 final T."""
+    counts: (T+1,). Returns (out (T, 8, P), tchk (TBk, P)): out rows 0-2 color,
+    3 final T; tchk holds per-block transmittance checkpoints for the backward.
+    """
     p = tile_size * tile_size
-    pad_off = block_off * block_size  # slot offset per tile
+    g = block_size
+    tb = attr.shape[1] // g
+    tbk = _cdiv(tb, K_CHUNK) * K_CHUNK
+    t_pad = _cdiv(num_tiles, OUT_CHUNK) * OUT_CHUNK
+
+    # Pad the scalar-prefetch arrays so virtual tail tiles read nb == 0.
+    boff_pad = jnp.pad(block_off, (0, t_pad + 1 - block_off.shape[0]),
+                       mode="edge")
+    cnt_pad = jnp.pad(counts, (0, t_pad + 1 - counts.shape[0]))
+
     kernel = functools.partial(_fwd_kernel, ntx=ntx, tile_size=tile_size,
-                               g=block_size, max_blocks=max_blocks_per_tile)
+                               g=g, num_tiles=num_tiles, num_tiles_pad=t_pad)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(num_tiles,),
+        grid=(1,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # attr stays in HBM
         ],
-        out_specs=pl.BlockSpec((1, 8, p), lambda i, *_: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # out, chunk-DMA'd
+            pl.BlockSpec(memory_space=pltpu.ANY),  # tchk
+        ],
         scratch_shapes=[
-            pltpu.VMEM((2, ATTR_ROWS, block_size), jnp.float32),
+            pltpu.VMEM((2, ATTR_ROWS, g), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, OUT_CHUNK, 8, p), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, K_CHUNK, p), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    return pl.pallas_call(
+    out, tchk = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_tiles, 8, p), jnp.float32),
+        out_shape=[
+            jax.ShapeDtypeStruct((t_pad, 8, p), jnp.float32),
+            jax.ShapeDtypeStruct((tbk, p), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(pad_off, counts, attr)
+    )(boff_pad, cnt_pad, attr)
+    return out[:num_tiles], tchk
 
 
-def _bwd_kernel(off_ref, cnt_ref, attr_hbm, gtile_ref, grad_hbm,
-                abuf, asem, tchk, gbuf, gsem,
-                *, ntx: int, tile_size: int, g: int, max_blocks: int):
+def _bwd_kernel(boff_ref, cnt_ref, tob_ref, bob_ref,
+                attr_hbm, tchk_hbm, gtile_hbm, grad_hbm,
+                abuf, asem, kbuf, ksem, gb, gsem, obuf, osem,
+                *, ntx: int, tile_size: int, g: int, num_tiles: int):
     p = tile_size * tile_size
-    t = pl.program_id(0)
-    cnt = cnt_ref[t]
-    nb = pl.cdiv(cnt, g)
-    slab = off_ref[t]
+    c_total = boff_ref[num_tiles]
 
-    px, py = _pixel_coords(t, ntx, tile_size, p)
-    gt = gtile_ref[0]  # (8, P): 0-2 grad color, 3 gT_total, 4 T_final
-
-    def dma_in(slot, b):
+    def dma_attr(slot, blk):
         return pltpu.make_async_copy(
-            attr_hbm.at[:, pl.ds(pl.multiple_of(slab + b * g, g), g)],
-            abuf.at[slot],
-            asem.at[slot])
+            attr_hbm.at[:, pl.ds(pl.multiple_of(blk * g, g), g)],
+            abuf.at[slot], asem.at[slot])
 
-    # Phase 1: forward replay, checkpointing T at each block start.
-    @pl.when(nb > 0)
+    def dma_k(slot, kc):
+        return pltpu.make_async_copy(
+            tchk_hbm.at[pl.ds(pl.multiple_of(kc * K_CHUNK, K_CHUNK), K_CHUNK)],
+            kbuf.at[slot], ksem.at[slot])
+
+    def dma_gt(slot, t):
+        return pltpu.make_async_copy(
+            gtile_hbm.at[pl.ds(t, 1)], gb.at[slot], gsem.at[slot])
+
+    def dma_out(slot, blk):
+        return pltpu.make_async_copy(
+            obuf.at[slot],
+            grad_hbm.at[:, pl.ds(pl.multiple_of(blk * g, g), g)],
+            osem.at[slot])
+
+    @pl.when(c_total > 0)
     def _():
-        dma_in(0, 0).start()
+        b0 = c_total - 1
+        dma_attr(b0 % 2, b0).start()
+        dma_k((b0 // K_CHUNK) % 2, b0 // K_CHUNK).start()
+        dma_gt(0, tob_ref[b0]).start()
 
-    def fwd_body(b, tc):
+    def body(k, carry):
+        r_carry, gslot_prev = carry
+        b = c_total - 1 - k
+        t = tob_ref[b]
+        cnt = cnt_ref[t]
+        base = bob_ref[b]
+        new_tile = b + 1 == boff_ref[t + 1]  # first processed block of tile t
+        gslot = jnp.where(new_tile, 1 - gslot_prev, gslot_prev)
+
+        @pl.when(new_tile)
+        def _():
+            dma_gt(gslot, t).wait()
+            # Prefetch the next (descending) tile's cotangent rows.
+            c_prev = boff_ref[t]
+
+            @pl.when(c_prev > 0)
+            def _():
+                dma_gt(1 - gslot, tob_ref[c_prev - 1]).start()
+
+        # tchk chunk stream (descending): first touch of chunk q happens at
+        # b % K == K-1 (or at the very first iteration).
+        q = b // K_CHUNK
+        kslot = q % 2
+
+        @pl.when((b % K_CHUNK == K_CHUNK - 1) | (k == 0))
+        def _():
+            dma_k(kslot, q).wait()
+
+            @pl.when(q >= 1)
+            def _():
+                dma_k((q - 1) % 2, q - 1).start()
+
         cur = b % 2
 
-        @pl.when(b + 1 < nb)
+        @pl.when(b >= 1)
         def _():
-            dma_in((b + 1) % 2, b + 1).start()
+            dma_attr((b - 1) % 2, b - 1).start()
 
-        dma_in(cur, b).wait()
-        tchk[pl.ds(b, 1), :] = tc.reshape(1, p)
-        _, t_new = _forward_block(abuf[cur], px, py, b * g, cnt, tc, g)
-        return t_new
-
-    jax.lax.fori_loop(0, nb, fwd_body, jnp.ones((p, 1), jnp.float32))
-
-    # Phase 2: reverse sweep with suffix accumulator; grads DMA'd per block.
-    @pl.when(nb > 0)
-    def _():
-        dma_in(0, nb - 1).start()
-
-    def bwd_body(k, r_carry):
-        # k = 0 .. nb-1 walks blocks in reverse: b = nb-1-k
-        b = nb - 1 - k
-        cur = k % 2
-
-        @pl.when(k + 1 < nb)
-        def _():
-            dma_in((k + 1) % 2, b - 1).start()
-
-        dma_in(cur, b).wait()
+        dma_attr(cur, b).wait()
         attr = abuf[cur]
+        gt = gb[gslot][0]  # (8, P): 0-2 grad color, 3 gT_total, 4 T_final
+        r0 = (gt[3:4, :] * gt[4:5, :]).reshape(p, 1)
+        r_in = jnp.where(new_tile, r0, r_carry)
+
+        px, py = _pixel_coords(t, ntx, tile_size, p)
         alpha, alpha_raw, exp_power, dx, dy, (ca, cb, cc) = _block_alpha(
-            attr, px, py, b * g, cnt, g)
-        tstart = tchk[pl.ds(b, 1), :].reshape(p, 1)
-        glog = jnp.log(1.0 - alpha)
-        cume = jax.lax.dot_general(
-            glog, _tri_strict_upper(g), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        cpexc = tstart * jnp.exp(cume)
-        cpincl = cpexc * (1.0 - alpha)
+            attr, px, py, base, cnt, g)
+        tstart = kbuf[kslot, pl.ds(b % K_CHUNK, 1)].reshape(p, 1)
+        excl, incl = _prefix_products(1.0 - alpha, g)
+        cpexc = tstart * excl
+        cpincl = tstart * incl
         acc = (cpincl >= T_EPS).astype(jnp.float32)
         w = alpha * cpexc * acc
 
@@ -258,10 +395,18 @@ def _bwd_kernel(off_ref, cnt_ref, attr_hbm, gtile_ref, grad_hbm,
             gimg, cattr, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)  # (P, G)
         we = w * e
-        suffix = jax.lax.dot_general(
-            we, _tri_strict_lower(g), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        r_i = suffix + r_carry
+        # Exclusive suffix sum of we via a reversed Hillis-Steele scan —
+        # summed directly (total-minus-prefix cancels catastrophically
+        # exactly where the suffix is small, which showed up as ~1% gradient
+        # error against the oracle on TPU).
+        lane = jax.lax.broadcasted_iota(jnp.int32, we.shape, 1)
+        z = jnp.where(lane < g - 1, pltpu.roll(we, g - 1, axis=1), 0.0)
+        s = 1
+        while s < g:
+            z = z + jnp.where(lane < g - s, pltpu.roll(z, g - s, axis=1), 0.0)
+            s *= 2
+        suffix = z
+        r_i = suffix + r_in
         g_div = 1.0 - alpha
         live = acc * (alpha > 0.0).astype(jnp.float32)
         dalpha = (e * cpexc - r_i / g_div) * live
@@ -279,78 +424,73 @@ def _bwd_kernel(off_ref, cnt_ref, attr_hbm, gtile_ref, grad_hbm,
 
         # Double-buffered grad write-back: before reusing a slot, retire the
         # DMA started from it two iterations ago.
-        gslot = k % 2
-
-        def dma_out(slot, blk):
-            return pltpu.make_async_copy(
-                gbuf.at[slot],
-                grad_hbm.at[:, pl.ds(pl.multiple_of(slab + blk * g, g), g)],
-                gsem.at[slot])
+        oslot = k % 2
 
         @pl.when(k >= 2)
         def _():
-            dma_out(gslot, b + 2).wait()
+            dma_out(oslot, b + 2).wait()
 
-        gbuf[gslot, 0:1, :] = ddx
-        gbuf[gslot, 1:2, :] = ddy
-        gbuf[gslot, 2:3, :] = da
-        gbuf[gslot, 3:4, :] = db
-        gbuf[gslot, 4:5, :] = dc
-        gbuf[gslot, 5:8, :] = dcol
-        gbuf[gslot, 8:9, :] = dopa
-        gbuf[gslot, 9:, :] = jnp.zeros_like(gbuf[gslot, 9:, :])
-        dma_out(gslot, b).start()
+        obuf[oslot, 0:1, :] = ddx
+        obuf[oslot, 1:2, :] = ddy
+        obuf[oslot, 2:3, :] = da
+        obuf[oslot, 3:4, :] = db
+        obuf[oslot, 4:5, :] = dc
+        obuf[oslot, 5:8, :] = dcol
+        obuf[oslot, 8:9, :] = dopa
+        obuf[oslot, 9:, :] = jnp.zeros_like(obuf[oslot, 9:, :])
+        dma_out(oslot, b).start()
 
-        return r_carry + jnp.sum(we, axis=1, keepdims=True)
+        return r_in + jnp.sum(we, axis=1, keepdims=True), gslot
 
-    r0 = (gt[3:4, :] * gt[4:5, :]).reshape(p, 1)
-    jax.lax.fori_loop(0, nb, bwd_body, r0)
+    jax.lax.fori_loop(0, c_total, body,
+                      (jnp.zeros((p, 1), jnp.float32), jnp.int32(1)))
 
     # Drain the in-flight grad DMAs (one per live slot).
-    def drain(slot, blk):
-        pltpu.make_async_copy(
-            gbuf.at[slot],
-            grad_hbm.at[:, pl.ds(pl.multiple_of(slab + blk * g, g), g)],
-            gsem.at[slot]).wait()
-
-    @pl.when(nb > 0)
+    @pl.when(c_total > 0)
     def _():
-        drain((nb - 1) % 2, 0)  # DMA started at k = nb-1 (block 0)
+        dma_out((c_total - 1) % 2, 0).wait()  # started at k = c_total-1
 
-    @pl.when(nb > 1)
+    @pl.when(c_total > 1)
     def _():
-        drain(nb % 2, 1)  # DMA started at k = nb-2 (block 1)
+        dma_out(c_total % 2, 1).wait()  # started at k = c_total-2
 
 
-def composite_backward(attr, gtiles, block_off, counts,
+def composite_backward(attr, tchk, gtiles, block_off, counts, tile_of_block,
+                       base_of_block,
                        *, num_tiles: int, ntx: int, tile_size: int,
                        block_size: int, max_blocks_per_tile: int,
                        interpret: bool = False):
-    """Backward composite (per-tile replay + reverse sweep).
+    """Backward composite: single descending sweep over the flat block list.
 
     attr:   (16, PP) as in forward.
+    tchk:   (TBk, P) per-block transmittance checkpoints from the forward.
     gtiles: (T, 8, P): rows 0-2 dL/dcolor, 3 total dL/dT_final, 4 T_final.
     Returns per-pair gradients (16, PP).
     """
     p = tile_size * tile_size
+    g = block_size
     pp = attr.shape[1]
-    pad_off = block_off * block_size
+    boff_pad = jnp.pad(block_off, (0, max(0, num_tiles + 1 - block_off.shape[0])),
+                       mode="edge")
     kernel = functools.partial(_bwd_kernel, ntx=ntx, tile_size=tile_size,
-                               g=block_size, max_blocks=max_blocks_per_tile)
+                               g=g, num_tiles=num_tiles)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(num_tiles,),
+        num_scalar_prefetch=4,
+        grid=(1,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # attr in HBM
-            pl.BlockSpec((1, 8, p), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # tchk in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),  # gtiles in HBM
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),  # grads in HBM
         scratch_shapes=[
-            pltpu.VMEM((2, ATTR_ROWS, block_size), jnp.float32),
+            pltpu.VMEM((2, ATTR_ROWS, g), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((max_blocks_per_tile, p), jnp.float32),  # T checkpoints
-            pltpu.VMEM((2, GRAD_ROWS, block_size), jnp.float32),
+            pltpu.VMEM((2, K_CHUNK, p), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, 1, 8, p), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, GRAD_ROWS, g), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -360,5 +500,5 @@ def composite_backward(attr, gtiles, block_off, counts,
         out_shape=jax.ShapeDtypeStruct((GRAD_ROWS, pp), jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(pad_off, counts, attr, gtiles)
+    )(boff_pad, counts, tile_of_block, base_of_block, attr, tchk, gtiles)
     return grads

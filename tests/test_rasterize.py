@@ -179,3 +179,58 @@ def test_golden_render_stats():
     np.testing.assert_allclose(m.mean(), 0.17798567, atol=1e-5)
     np.testing.assert_allclose(
         img[32, 32], [0.3469450, 0.4358120, 0.4917480], atol=1e-5)
+
+
+def test_binning_overflow_paths():
+    """Each binning cap (enum cap, per-tile cap, slab budget) must degrade
+    gracefully: overflow counted, render finite, no crash (VERDICT r1 #10;
+    caps at ops/binning.py:150-165)."""
+    from guassianhand_tpu.ops import binning as binning_lib
+    from guassianhand_tpu.ops.binning import BinningConfig, bin_gaussians
+    from guassianhand_tpu.ops.projection import project_gaussians
+    from tests.utils import make_camera, make_gaussians
+
+    hw = 64
+    cam = make_camera(hw, hw)
+    # big, overlapping gaussians -> huge tile rects
+    g = make_gaussians(128, seed=0, scale_range=(0.2, 0.4))
+    proj = project_gaussians(g.xyz, g.scaling, g.rotation, cam)
+
+    def bins(cfg):
+        return bin_gaussians(proj.mean2d, proj.depth, proj.radius,
+                             proj.visible, height=hw, width=hw, cfg=cfg)
+
+    # enum cap: every gaussian covers far more than 2 tiles
+    b_enum = bins(BinningConfig(max_tiles_per_gaussian=2, block_size=32,
+                                pairs_per_gaussian=8.0))
+    assert int(b_enum.overflow) > 0
+    assert int(b_enum.n_pairs) > 0
+
+    # per-tile cap: tiny cap forces truncation of crowded tiles
+    b_tile = bins(BinningConfig(max_tiles_per_gaussian=16, block_size=32,
+                                max_blocks_per_tile=1, pairs_per_gaussian=16.0))
+    assert int(b_tile.overflow) > 0
+    counts = np.asarray(b_tile.counts)[:-1]
+    assert counts.max() <= 32  # cap respected
+
+    # slab budget: tiles beyond the budget dropped (counted, zeroed)
+    b_budget = bins(BinningConfig(max_tiles_per_gaussian=16, block_size=32,
+                                  pairs_per_gaussian=0.5))
+    assert int(b_budget.overflow) > 0
+
+    # reference no-cap run has strictly more pairs than every capped run
+    b_free = bins(BinningConfig(max_tiles_per_gaussian=64, block_size=32,
+                                pairs_per_gaussian=32.0,
+                                max_blocks_per_tile=64))
+    assert int(b_free.overflow) == 0
+    for b in (b_enum, b_tile, b_budget):
+        assert int(b.n_pairs) < int(b_free.n_pairs)
+
+    # the degraded binning still renders finite images end to end
+    cfg = RasterizeConfig(interpret=True, max_tiles_per_gaussian=2)
+    out = rasterize(g, cam, height=hw, width=hw, use_rgb=True, config=cfg)
+    assert int(out["overflow"]) > 0
+    img = np.asarray(out["comp_rgb"])
+    assert np.isfinite(img).all()
+    m = np.asarray(out["comp_mask"])
+    assert (m >= 0).all() and (m <= 1 + 1e-6).all()
