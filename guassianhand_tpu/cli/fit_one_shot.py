@@ -77,7 +77,11 @@ def main(argv=None):
             mask_sa=cfg.data.mask_sa, render_mask=cfg.data.render_mask,
             height=hw_h, width=hw_w,
             mano_models_path=cfg.data.mano_models_path,
-            mano_uv_path=cfg.data.mano_uv_path)
+            mano_uv_path=cfg.data.mano_uv_path,
+            color_jitter=cfg.data.color_jitter,
+            use_native_loader=cfg.data.use_native_loader,
+            edit=cfg.data.edit, image_path=cfg.data.image_path,
+            mask_path=cfg.data.mask_path)
         dataset = InterHandDataset(ds_cfg)
         train_batch = dataset.load_sample(0)
         batch_fn = lambda step: train_batch  # noqa: E731

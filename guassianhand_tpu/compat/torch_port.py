@@ -138,6 +138,181 @@ def _tokenizer(sd, prefix):
     return {"embeddings": np.asarray(sd[f"{prefix}.embeddings"])}
 
 
+def _conv1d(sd, prefix):
+    """kernel-1 Conv1d (out, in, 1) -> Dense kernel (in, out)."""
+    out = {"kernel": np.asarray(sd[f"{prefix}.weight"])[:, :, 0].T}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{prefix}.bias"])
+    return out
+
+
+def _conv2d_k1(sd, prefix):
+    """kernel-1 Conv2d (out, in, 1, 1) -> Dense kernel (in, out)."""
+    return {"kernel": np.asarray(sd[f"{prefix}.weight"])[:, :, 0, 0].T,
+            "bias": np.asarray(sd[f"{prefix}.bias"])}
+
+
+def _mlp_conv(sd, prefix, n=2):
+    """snowflake MLP_CONV: convs at mlp.{0, 2, ...} -> Dense_i."""
+    return {f"Dense_{i}": _conv1d(sd, f"{prefix}.mlp.{2 * i}")
+            for i in range(n)}
+
+
+def _mlp_res(sd, prefix):
+    return {"conv_1": _conv1d(sd, f"{prefix}.conv_1"),
+            "conv_2": _conv1d(sd, f"{prefix}.conv_2"),
+            "conv_shortcut": _conv1d(sd, f"{prefix}.conv_shortcut")}
+
+
+def _bn(sd, prefix):
+    """BatchNorm (+ running stats) -> FrozenBatchNorm params."""
+    sd[f"{prefix}.num_batches_tracked"]  # mark consumed
+    return {"scale": np.asarray(sd[f"{prefix}.weight"]),
+            "bias": np.asarray(sd[f"{prefix}.bias"]),
+            "mean": np.asarray(sd[f"{prefix}.running_mean"]),
+            "var": np.asarray(sd[f"{prefix}.running_var"])}
+
+
+def _conv_bn_conv(sd, prefix):
+    """Sequential(Conv2d k1, BatchNorm2d, ReLU, Conv2d k1) -> ConvBNConv."""
+    return {"fc1": _conv2d_k1(sd, f"{prefix}.0"),
+            "bn": _bn(sd, f"{prefix}.1"),
+            "fc2": _conv2d_k1(sd, f"{prefix}.3")}
+
+
+def _skip_transformer(sd, prefix):
+    return {
+        "mlp_v": _mlp_res(sd, f"{prefix}.mlp_v"),
+        "conv_key": _conv1d(sd, f"{prefix}.conv_key"),
+        "conv_query": _conv1d(sd, f"{prefix}.conv_query"),
+        "conv_value": _conv1d(sd, f"{prefix}.conv_value"),
+        "pos_mlp": _conv_bn_conv(sd, f"{prefix}.pos_mlp"),
+        "attn_mlp": _conv_bn_conv(sd, f"{prefix}.attn_mlp"),
+        "conv_end": _conv1d(sd, f"{prefix}.conv_end"),
+    }
+
+
+def _spd_pp(sd, prefix):
+    """SPD_pp upper block -> nn.snowflake.SPDpp params."""
+    return {
+        "mlp_1": _mlp_conv(sd, f"{prefix}.mlp_1"),
+        "mlp_2": _mlp_conv(sd, f"{prefix}.mlp_2"),
+        "skip_transformer": _skip_transformer(sd, f"{prefix}.skip_transformer"),
+        "mlp_ps": _mlp_conv(sd, f"{prefix}.mlp_ps"),
+        # ConvTranspose1d (in, out, k): same layout as PointSplit's kernel
+        "ps": {"kernel": np.asarray(sd[f"{prefix}.ps.weight"])},
+        "mlp_delta_feature": _mlp_res(sd, f"{prefix}.mlp_delta_feature"),
+        "mlp_delta": _mlp_conv(sd, f"{prefix}.mlp_delta"),
+    }
+
+
+def _snowflake_decoder(sd, prefix, n_uppers=2):
+    out = {"mlp_feat_cond": _mlp_conv(sd, f"{prefix}.mlp_feat_cond")}
+    for i in range(n_uppers):
+        out[f"uppers_{i}"] = _spd_pp(sd, f"{prefix}.uppers.{i}")
+    return out
+
+
+def _modulation(sd, prefix):
+    """single-layer Modulation: just linear2 (transformers.py:573-593)."""
+    return {"linear2": _lin(sd, f"{prefix}.linear2")}
+
+
+def _image_tokenizer_modulations(sd, prefix, n_layers=12):
+    """modulations.{2i, 2i+1} -> layer_i.{norm1,norm2}_modulation."""
+    out = {}
+    for i in range(n_layers):
+        out[f"layer_{i}"] = {
+            "norm1_modulation": _modulation(sd, f"{prefix}.{2 * i}"),
+            "norm2_modulation": _modulation(sd, f"{prefix}.{2 * i + 1}"),
+        }
+    return out
+
+
+def _point_generator(sd, prefix):
+    """pointcloud_generator subtree -> models.point_generator params."""
+    out = {}
+
+    def attempt(name, fn, *args):
+        try:
+            out[name] = fn(sd, *args)
+        except KeyError:
+            pass
+
+    attempt("camera_embedder", _mlp, f"{prefix}.camera_embedder", 1)
+    attempt("image_tokenizer", _image_tokenizer_modulations,
+            f"{prefix}.image_tokenizer.modulations")
+    attempt("tokenizer",
+            lambda s, p: {"pcl_embeddings":
+                          np.asarray(s[f"{p}.pcl_embeddings.weight"])},
+            f"{prefix}.tokenizer")
+    attempt("backbone", _transformer1d, f"{prefix}.backbone", 10)
+    attempt("post_processor",
+            lambda s, p: {"point_layer": _lin(s, f"{p}.point_layer")},
+            f"{prefix}.post_processor")
+    attempt("pointcloud_upsampling", _snowflake_decoder,
+            f"{prefix}.pointcloud_upsampling.decoder")
+    return out
+
+
+# HF dinov2-base key prefixes -> nn.image_tokenizer.ImageTokenizer params.
+def port_dinov2_backbone(state_dict):
+    """Map an HF `facebook/dinov2-base` torch state_dict into the
+    ImageTokenizer layout (the backbone weights the reference downloads at
+    model build, tgs/models/tokenizers/image.py:33-50; NOT part of the
+    pretrain ckpt because freeze_backbone_params registers a non-module).
+
+    Returns (params, unmapped_keys)."""
+    sd = {}
+    for k, v in state_dict.items():
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        sd[k.replace("dinov2.", "", 1) if k.startswith("dinov2.") else k] = \
+            np.asarray(v)
+
+    used = set()
+
+    def get(key):
+        used.add(key)
+        return sd[key]
+
+    params = {
+        "cls_token": get("embeddings.cls_token"),
+        "pos_embed": get("embeddings.position_embeddings"),
+        "patch_embed": {
+            # torch Conv2d (out, in, kh, kw) -> flax (kh, kw, in, out)
+            "kernel": get("embeddings.patch_embeddings.projection.weight"
+                          ).transpose(2, 3, 1, 0),
+            "bias": get("embeddings.patch_embeddings.projection.bias"),
+        },
+        "layernorm": {"scale": get("layernorm.weight"),
+                      "bias": get("layernorm.bias")},
+    }
+    for i in range(12):
+        p = f"encoder.layer.{i}"
+        lin = lambda name: {"kernel": get(f"{p}.{name}.weight").T,
+                            "bias": get(f"{p}.{name}.bias")}
+        params[f"layer_{i}"] = {
+            "norm1": {"scale": get(f"{p}.norm1.weight"),
+                      "bias": get(f"{p}.norm1.bias")},
+            "attention": {
+                "query": lin("attention.attention.query"),
+                "key": lin("attention.attention.key"),
+                "value": lin("attention.attention.value"),
+                "dense": lin("attention.output.dense"),
+            },
+            "layer_scale1": {"lambda1": get(f"{p}.layer_scale1.lambda1")},
+            "norm2": {"scale": get(f"{p}.norm2.weight"),
+                      "bias": get(f"{p}.norm2.bias")},
+            "fc1": lin("mlp.fc1"),
+            "fc2": lin("mlp.fc2"),
+            "layer_scale2": {"lambda1": get(f"{p}.layer_scale2.lambda1")},
+        }
+    # mask_token exists in the HF ckpt but has no inference-path counterpart
+    unmapped = sorted(set(sd) - used - {"embeddings.mask_token"})
+    return params, unmapped
+
+
 def port_reference_checkpoint(state_dict: Dict[str, Any],
                               backbone_layers: int = 10
                               ) -> Tuple[Dict[str, Any], List[str]]:
@@ -186,6 +361,10 @@ def port_reference_checkpoint(state_dict: Dict[str, Any],
     attempt("post_processor_texture",
             lambda s, p: {"ConvTranspose_0": _conv_transpose(s, f"{p}.upsample")},
             "post_processor_texture")
+    attempt("post_processor",
+            lambda s, p: {"ConvTranspose_0": _conv_transpose(s, f"{p}.upsample")},
+            "post_processor")
+    attempt("pointcloud_generator", _point_generator, "pointcloud_generator")
     attempt("additional_features_fc",
             lambda s, p: {"MLPBlock_0": _mlp_block(s, f"{p}.ff1")},
             "additional_features_fc")

@@ -37,6 +37,12 @@ class DataConfig:
     pose_sequence: Optional[str] = None
     mask_sa: bool = True
     render_mask: bool = True
+    color_jitter: bool = False          # one_shot.json "color_jitter"
+    use_native_loader: bool = True
+    # edit-mode dataset knobs (one_shot_avatar.json image_path/mask_path)
+    edit: bool = False
+    image_path: Optional[str] = None
+    mask_path: Optional[str] = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -39,6 +39,7 @@ from guassianhand_tpu.mano.uv import load_uv_atlas, static_vertex_uv
 from guassianhand_tpu.ops.knn import interaction_mask
 from guassianhand_tpu.ops.subdivision import (build_subdivision_plans,
                                               subdivide_n)
+from guassianhand_tpu.data.native_loader import decode_image, native_available
 from guassianhand_tpu.data.rays import bounds_from_points, get_mask_at_box
 
 
@@ -80,13 +81,27 @@ class InterHandConfig:
     width: int = 256
     mano_models_path: Optional[str] = None
     mano_uv_path: Optional[str] = None
+    # Edit mode (dataset_one_shot.py:443-481 edit branches + dataset_edit.py):
+    # fit frame pinned to index_identity0_train_i/11388.pkl on the train
+    # split; the edit target image/mask may come from custom paths (RGBA
+    # alpha becomes the mask); test drives index_identity_all_train_i.
+    edit: bool = False
+    image_path: Optional[str] = None
+    mask_path: Optional[str] = None
+    color_jitter: bool = False            # one_shot.json "color_jitter"
+    use_native_loader: bool = True        # native/gh_loader.cpp decode pool
 
 
 class InterHandDataset:
     """Host-side loader + device-side posing for the one-shot pipeline."""
 
     def __init__(self, cfg: InterHandConfig):
+        if cfg.edit and cfg.mode != "train":
+            # the reference forces mode='train' when editing
+            # (dataset_one_shot.py:91-93)
+            cfg = dataclasses.replace(cfg, mode="train")
         self.cfg = cfg
+        self._rng = np.random.RandomState(0)
         self.mano = {
             "right": load_mano_model("right", cfg.mano_models_path),
             "left": load_mano_model("left", cfg.mano_models_path),
@@ -151,7 +166,7 @@ class InterHandDataset:
     def __len__(self) -> int:
         cfg = self.cfg
         if cfg.split == "train":
-            return 50
+            return 100 if cfg.edit else 50
         if cfg.split == "val":
             return 1
         if cfg.pose_sequence == "oneshot_reg_i":
@@ -160,15 +175,24 @@ class InterHandDataset:
             return 50
         if cfg.pose_sequence == "oneshot_train":
             return 1
+        if cfg.edit:
+            return 10000
         return 349
 
     def _index_record(self, index: int) -> Dict:
         cfg = self.cfg
         base = os.path.join(cfg.data_root, cfg.mode)
         if cfg.split in ("train", "val") or cfg.pose_sequence == "oneshot_train":
-            sub, idx = "index_identity_test_i_one_shot", 2
+            if cfg.edit:
+                # fixed edit fit frame (dataset_one_shot.py:474-479)
+                sub, idx = "index_identity0_train_i", 11388
+            else:
+                sub, idx = "index_identity_test_i_one_shot", 2
         elif cfg.pose_sequence == "oneshot_nv":
             sub, idx = "index_identity_os_i_test_nv", index
+        elif cfg.edit:
+            # edit drive split (dataset_one_shot.py:470-472)
+            sub, idx = "index_identity_all_train_i", index * 10
         else:
             sub, idx = "index_identity_test_i_one_shot", index * 10
         with open(os.path.join(base, sub, f"{idx}.pkl"), "rb") as f:
@@ -219,15 +243,48 @@ class InterHandDataset:
         base = os.path.join(cfg.data_root, cfg.mode)
         stem = f"capture{capture_id}/cam{cam}/frame{frame_idx}.jpg"
 
+        use_native = cfg.use_native_loader and native_available()
+
         def read(kind):
             p = os.path.join(base, kind, stem)
-            return np.asarray(PIL.Image.open(p)) if os.path.exists(p) else None
+            if not os.path.exists(p):
+                return None
+            if use_native:
+                # native decode pool path (native/gh_loader.cpp); masks are
+                # thresholded below so float RGB is fine for them too
+                return (decode_image(p) * 255.0).astype(np.uint8)
+            return np.asarray(PIL.Image.open(p))
 
-        img = read("image").astype(np.float32) / 255.0
-        mask_kind = "mask_sa" if cfg.mask_sa else "mask"
-        mask = read(mask_kind)
-        if mask is None:
+        alpha_mask = None
+        if cfg.edit and cfg.image_path:
+            # custom edit target (dataset_edit.py image_path/mask_path);
+            # RGBA alpha doubles as the mask when no mask_path is given
+            pim = PIL.Image.open(cfg.image_path)
+            if pim.size != (cfg.width, cfg.height):
+                # the reference forces 256^2 for edit targets (dataset_edit.py)
+                pim = pim.resize((cfg.width, cfg.height))
+            arr = np.asarray(pim)
+            if arr.ndim == 3 and arr.shape[-1] == 4:
+                alpha_mask = arr[..., 3]  # 0-255; thresholded below
+                arr = arr[..., :3]
+            img = arr.astype(np.float32) / 255.0
+        else:
+            img = read("image").astype(np.float32) / 255.0
+        if cfg.color_jitter and cfg.split == "train" and not cfg.edit:
+            # fitting augmentation (dataset_one_shot.py:154-161)
+            img = color_jitter(img, self._rng)
+        if alpha_mask is not None and not cfg.mask_path:
+            mask = alpha_mask
+        elif cfg.edit and cfg.mask_path:
+            mask = np.asarray(PIL.Image.open(cfg.mask_path))
+        elif cfg.edit:
+            # edit mode reads the plain mask dir (dataset_one_shot.py:509-511)
             mask = read("mask")
+        else:
+            mask_kind = "mask_sa" if cfg.mask_sa else "mask"
+            mask = read(mask_kind)
+            if mask is None:
+                mask = read("mask")
         mask = (mask >= 100).astype(np.uint8)
         if mask.ndim == 3:
             mask = (mask.mean(-1) > 0.5).astype(np.uint8)

@@ -32,7 +32,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from guassianhand_tpu.nn.heads import AdditionalFeaturesFC, SelfAttn
+from guassianhand_tpu.nn.heads import (AdditionalFeaturesFC, IdentityCodeInfer,
+                                       SelfAttn)
 from guassianhand_tpu.nn.mlp import MLP
 from guassianhand_tpu.nn.pointnet import LocalPoolPointnet
 from guassianhand_tpu.nn.spatial import positional_encoding
@@ -66,6 +67,8 @@ class OneShotConfig:
     additional_feature_dim: int = 51
     interaction_k: int = 100
     interaction_threshold: int = 10
+    attn_dropout: float = 0.1        # self_attn.py:52-56 (train-mode only)
+    identity_infer_tokens: int = 256  # IdentityCodeInfer token count
     renderer: RendererConfig = RendererConfig()
 
 
@@ -100,7 +103,9 @@ class OneShotAvatarModel(nn.Module):
             out_channels=c.scene_code_channels)
         self.additional_features_fc = AdditionalFeaturesFC(
             out_dim=c.additional_feature_dim)
-        self.self_attn_layer = SelfAttn()
+        self.self_attn_layer = SelfAttn(dropout=c.attn_dropout)
+        self.identity_code_infer = IdentityCodeInfer(
+            code_dim=c.identity_channels, n_token=c.identity_infer_tokens)
         self.renderer = GSRenderer(cfg=c.renderer)
 
         s = c.plane_size
@@ -148,7 +153,9 @@ class OneShotAvatarModel(nn.Module):
 
     def __call__(self, batch: Dict[str, Any], height: int, width: int,
                  edit: EditConfig = EditConfig(),
-                 identity_from_book: Optional[int] = None) -> Dict[str, Any]:
+                 identity_from_book: Optional[int] = None,
+                 infer_identity: bool = False,
+                 train: bool = False) -> Dict[str, Any]:
         """height/width are static python ints (shape-determining under jit).
 
         batch (all batched over B):
@@ -184,6 +191,19 @@ class OneShotAvatarModel(nn.Module):
         if identity_from_book is not None:
             id_plane = self.identity_code_book[identity_from_book][None]
         id_plane_b = jnp.broadcast_to(id_plane, (b, *id_plane.shape[1:]))
+        if infer_identity:
+            # Identity-code inference head (verts_refinement.py:133-154 /
+            # the code_attn mechanism, SURVEY.md §2.10): infer a 33-d code
+            # from pose-conditioned point tokens and add it as a per-channel
+            # bias to the identity plane (for identities outside the book).
+            k = self.cfg.identity_infer_tokens
+            sel = (jnp.arange(k) * n // k)
+            tokens = jnp.concatenate(
+                [points[:, sel], xyz_pe[:, sel],
+                 jnp.broadcast_to(pose_feats[:, None],
+                                  (b, k, pose_feats.shape[-1]))], axis=-1)
+            code = self.identity_code_infer(tokens)       # (B, 33)
+            id_plane_b = id_plane_b + code[:, :, None, None]
         id_vert = grid_sample_batched(id_plane_b, uv_n)   # (B, N, 33)
 
         inter = batch["inter_mask"].astype(jnp.float32)[..., None]
@@ -204,7 +224,8 @@ class OneShotAvatarModel(nn.Module):
         hidden_tex = grid_sample_batched(codes, uv_n)     # (B, N, 80)
         hidden = jnp.concatenate([hidden_tex, additional], axis=-1)  # (B,N,131)
 
-        hidden = self.self_attn_layer(hidden, mask=batch["inter_mask"])
+        hidden = self.self_attn_layer(hidden, mask=batch["inter_mask"],
+                                      deterministic=not train)
 
         query_points = batch.get("points_tar", points)
 

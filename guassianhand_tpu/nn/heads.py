@@ -129,11 +129,13 @@ class IdentityCodeInfer(nn.Module):
     (SURVEY.md §2.10)."""
 
     code_dim: int = 33
+    n_token: int = 256
 
     @nn.compact
     def __call__(self, tokens):
-        """tokens: (B, N_token, C) -> (B, code_dim) in (-1, 1)."""
-        b = tokens.shape[0]
+        """tokens: (B, n_token, C) -> (B, code_dim) in (-1, 1)."""
+        b, n, _ = tokens.shape
+        assert n == self.n_token, (n, self.n_token)
         h = nn.Dense(self.code_dim)(tokens)
         h = nn.LayerNorm()(h)
         h = nn.Dense(self.code_dim)(h.reshape(b, -1))
@@ -154,9 +156,10 @@ class SelfAttn(nn.Module):
 
     n_heads: int = 4
     chunk_size: int = 2048
+    dropout: float = 0.1   # self_attn.py:52-56, active during fitting
 
     @nn.compact
-    def __call__(self, x, mask=None):
+    def __call__(self, x, mask=None, deterministic: bool = True):
         from guassianhand_tpu.ops.blockwise_attention import blockwise_attention
 
         b, n, f = x.shape
@@ -174,8 +177,14 @@ class SelfAttn(nn.Module):
         )(q, k, v, mask if mask is not None
           else jnp.ones((b, n), bool))
         o = nn.Dense(f)(o.reshape(b, n, self.n_heads * d))
+        if self.dropout > 0.0:
+            # the reference's dropout2 on the attention output (the
+            # attention-prob dropout1 does not compose with the blockwise
+            # online softmax; output dropout carries the regularization)
+            o = nn.Dropout(self.dropout)(o, deterministic=deterministic)
         x = x + o
-        x = MLPResBlock(hid_dim=f)(x)
+        x = MLPResBlock(hid_dim=f, dropout=self.dropout)(
+            x, deterministic=deterministic)
         if mask is not None:
             # Non-interacting rows keep their input features, matching the
             # reference's boolean-indexed in-place update.

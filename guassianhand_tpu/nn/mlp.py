@@ -49,13 +49,16 @@ class MLPBlock(nn.Module):
 
 class MLPResBlock(nn.Module):
     hid_dim: int
+    dropout: float = 0.0   # MLP_res_block carries p=0.1 inside SelfAttn
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, deterministic: bool = True):
         h = nn.LayerNorm(epsilon=1e-6)(x)
         h = nn.Dense(self.hid_dim)(h)
         h = nn.relu(h)
         h = nn.Dense(x.shape[-1])(h)
+        if self.dropout > 0.0:
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         return x + h
 
 

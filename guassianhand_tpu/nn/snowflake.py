@@ -2,11 +2,20 @@
 
 TPU-native counterparts of the reference's snowflake modules
 (tgs/models/snowflake/): ``SkipTransformer`` (kNN-16 local vector attention
-with relative-position MLP, skip_transformer.py:9-69), ``SPD`` point splitting
-(MLP_CONV -> SkipTransformer -> feature-duplication split -> tanh-bounded
-delta, SPD.py:10-68) and the ``SnowflakeModelSPDPP`` driver
-(model_spdpp_my.py:100-216) with up_factors [2, 4]. 1D convs with kernel 1
-become Dense layers; per-point kNN gathers replace the CUDA grouping ops.
+with relative-position MLP, skip_transformer.py:9-69), the ``SPD`` family —
+``SPD`` (SPD.py:10-68), ``SPD_pp`` (SPD_pp.py:6-70, the flagship's variant:
+global max-pool + conditioning features concatenated before the query MLP),
+``SPD_crossattn`` (SPD_crossattn.py:24-32, conditioning via a cross-attention
+block instead of concatenation) — and the ``SnowflakeModelSPDPP`` decoder
+driver (model_spdpp_my.py:100-216) with up_factors [2, 4].
+
+Parameter layout mirrors the reference checkpoint tree exactly (submodule
+names mlp_1/mlp_2/skip_transformer/mlp_ps/ps/mlp_delta_feature/mlp_delta,
+MLP_CONV's mlp.{0,2} convs -> Dense_{0,1}) so compat/torch_port.py can map
+``pointcloud_generator.pointcloud_upsampling.*`` one-to-one. Kernel-1 Conv1d
+-> Dense; the stride=k ConvTranspose1d point-split -> einsum over a (in, out,
+k) kernel; CUDA grouping ops -> gathers over ops/knn indices. All modules are
+single-sample (N, C) point-major; batch via vmap.
 """
 from __future__ import annotations
 
@@ -20,7 +29,8 @@ from guassianhand_tpu.ops.knn import knn
 
 
 class MLPConv(nn.Module):
-    """Stack of kernel-1 convs over points == per-point Dense stack."""
+    """Reference MLP_CONV (snowflake/utils.py): kernel-1 conv stack == Dense
+    stack with ReLU between (not after) layers. Dense_i maps conv mlp.{2i}."""
 
     channels: Sequence[int]
 
@@ -33,83 +43,272 @@ class MLPConv(nn.Module):
         return x
 
 
-class SkipTransformer(nn.Module):
-    """Local vector attention over k nearest neighbors.
+class MLPRes(nn.Module):
+    """Reference MLP_Res: conv_2(relu(conv_1(x))) + conv_shortcut(x)."""
 
-    pos: (N, 3); key/query features: (N, C). Returns (N, C).
-    """
-
-    dim: int = 64
-    k: int = 16
+    hidden: int
+    out: int
 
     @nn.compact
-    def __call__(self, pos, key_feat, query_feat):
-        c = key_feat.shape[-1]
-        value = nn.Dense(c)(key_feat + query_feat)  # identity branch
-        q = nn.Dense(self.dim)(query_feat)
-        kf = nn.Dense(self.dim)(key_feat)
+    def __call__(self, x):
+        h = nn.Dense(self.hidden, name="conv_1")(x)
+        h = nn.Dense(self.out, name="conv_2")(nn.relu(h))
+        s = nn.Dense(self.out, name="conv_shortcut")(x)
+        return h + s
 
-        _, idx = knn(pos, pos, self.k)          # (N, K)
-        k_nbr = kf[idx]                          # (N, K, D)
-        v_nbr = value[idx]                       # (N, K, C)
-        rel_pos = pos[:, None, :] - pos[idx]     # (N, K, 3)
-        pos_emb_attn = MLPConv([self.dim, self.dim])(rel_pos)
-        pos_emb_val = MLPConv([self.dim, c])(rel_pos)
 
-        attn = q[:, None, :] - k_nbr + pos_emb_attn  # vector attention logits
-        attn = MLPConv([self.dim, c])(attn)
+class FrozenBatchNorm(nn.Module):
+    """Inference-mode BatchNorm with running stats held as params.
+
+    The snowflake stack is part of the frozen pretrained backbone (the
+    reference freezes everything but the per-identity params during fitting,
+    infer_one_shot.py:340-343), so eval-mode semantics with ported
+    running_mean/var are exact. Keeping the stats in the params collection
+    keeps the checkpoint port a single-tree merge.
+    """
+
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.param("mean", nn.initializers.zeros, (self.features,))
+        var = self.param("var", nn.initializers.ones, (self.features,))
+        return (x - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+
+
+class ConvBNConv(nn.Module):
+    """Conv2d(k=1) -> BatchNorm -> ReLU -> Conv2d(k=1) (pos_mlp / attn_mlp)."""
+
+    hidden: int
+    out: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, name="fc1")(x)
+        x = FrozenBatchNorm(self.hidden, name="bn")(x)
+        x = nn.relu(x)
+        return nn.Dense(self.out, name="fc2")(x)
+
+
+class SkipTransformer(nn.Module):
+    """kNN local vector attention (skip_transformer.py:9-69).
+
+    pos: (N, 3); key/query: (N, C). Returns (N, C).
+    """
+
+    in_channel: int = 128
+    dim: int = 64
+    n_knn: int = 16
+    pos_hidden: int = 64
+    attn_hidden_multiplier: int = 4
+
+    @nn.compact
+    def __call__(self, pos, key, query):
+        value = MLPRes(self.in_channel, self.in_channel, name="mlp_v")(
+            jnp.concatenate([key, query], axis=-1))
+        identity = value
+        k = nn.Dense(self.dim, name="conv_key")(key)
+        q = nn.Dense(self.dim, name="conv_query")(query)
+        v = nn.Dense(self.dim, name="conv_value")(value)
+
+        _, idx = knn(pos, pos, self.n_knn)       # (N, K) incl. self
+        qk_rel = q[:, None, :] - k[idx]          # (N, K, D)
+        pos_rel = pos[:, None, :] - pos[idx]     # (N, K, 3)
+        pos_emb = ConvBNConv(self.pos_hidden, self.dim, name="pos_mlp")(pos_rel)
+        attn = ConvBNConv(self.dim * self.attn_hidden_multiplier, self.dim,
+                          name="attn_mlp")(qk_rel + pos_emb)
         attn = jax.nn.softmax(attn, axis=1)      # over neighbors
-        agg = jnp.sum(attn * (v_nbr + pos_emb_val), axis=1)
-        return nn.Dense(c)(agg) + value
+        agg = jnp.sum(attn * (v[:, None, :] + pos_emb), axis=1)  # (N, D)
+        return nn.Dense(self.in_channel, name="conv_end")(agg) + identity
+
+
+class PointSplit(nn.Module):
+    """ConvTranspose1d(ps_dim, 128, k=up, stride=up, bias=False): each input
+    point emits up_factor children, child j = x @ kernel[:, :, j]."""
+
+    ps_dim: int
+    out: int
+    up_factor: int
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.ps_dim, self.out, self.up_factor))
+        y = jnp.einsum("ni,iok->nko", x, w)
+        return y.reshape(x.shape[0] * self.up_factor, self.out)
+
+
+class SPDpp(nn.Module):
+    """SPD_pp point-splitting stage (SPD_pp.py:6-70): N -> N * up_factor.
+
+    points: (N, 3); feat_cond: (N, dim_feat) per-point conditioning;
+    k_prev: (N, 128) previous stage's displacement feature or None.
+    """
+
+    dim_feat: int = 128
+    up_factor: int = 2
+    i: int = 0
+    radius: float = 1.0
+    bounding: bool = True
+    global_feat: bool = True
+
+    @nn.compact
+    def __call__(self, points, feat_cond=None,
+                 k_prev: Optional[jax.Array] = None):
+        n = points.shape[0]
+        ps_dim = 32 if self.global_feat else 64
+        feat_1 = MLPConv([64, 128], name="mlp_1")(points)
+        if self.global_feat:
+            gmax = jnp.broadcast_to(feat_1.max(axis=0, keepdims=True),
+                                    feat_1.shape)
+            feat_1 = jnp.concatenate([feat_1, gmax, feat_cond], axis=-1)
+        q = MLPConv([256, 128], name="mlp_2")(feat_1)
+        h = SkipTransformer(in_channel=128, dim=64, name="skip_transformer")(
+            points, q if k_prev is None else k_prev, q)
+
+        feat_child = MLPConv([64, ps_dim], name="mlp_ps")(h)
+        feat_child = PointSplit(ps_dim, 128, self.up_factor, name="ps")(
+            feat_child)                           # (N*up, 128)
+        h_up = jnp.repeat(h, self.up_factor, axis=0)
+        k_curr = MLPRes(128, 128, name="mlp_delta_feature")(
+            jnp.concatenate([feat_child, h_up], axis=-1))
+        delta = MLPConv([64, 3], name="mlp_delta")(nn.relu(k_curr))
+        if self.bounding:
+            delta = jnp.tanh(delta) / (self.radius ** self.i)
+        return jnp.repeat(points, self.up_factor, axis=0) + delta, k_curr
 
 
 class SPD(nn.Module):
-    """One point-splitting stage: N points -> N * up_factor points."""
+    """Plain SPD (SPD.py:10-68): like SPD_pp but conditions on a single
+    global feature vector instead of per-point features."""
 
+    dim_feat: int = 512
     up_factor: int = 2
-    dim_feat: int = 128   # global feature channels
-    hidden: int = 128
-    bounding: bool = True
+    i: int = 0
     radius: float = 1.0
+    bounding: bool = True
 
     @nn.compact
-    def __call__(self, points, feat_global, feat_prev: Optional[jax.Array] = None):
-        """points: (N, 3); feat_global: (Cg,); feat_prev: (N, H) from the
-        previous stage (or None). Returns (new_points (N*up, 3), feat (N*up, H))."""
+    def __call__(self, points, feat_global, k_prev=None):
         n = points.shape[0]
-        gf = jnp.broadcast_to(feat_global[None, :], (n, feat_global.shape[0]))
-        h = MLPConv([64, self.hidden])(jnp.concatenate([points, gf], axis=-1))
-        kprev = h if feat_prev is None else feat_prev
-        h = SkipTransformer(dim=64)(points, kprev, h)
-
-        # split: duplicate each point's features up_factor times with a
-        # learned per-child offset code (the ConvTranspose1d duplication)
-        child_code = self.param(
-            "child_code", nn.initializers.normal(0.02),
-            (self.up_factor, self.hidden))
-        h_child = (h[:, None, :] + child_code[None]).reshape(
-            n * self.up_factor, self.hidden)
-        pts_child = jnp.repeat(points, self.up_factor, axis=0)
-
-        delta = MLPConv([self.hidden, 64, 3])(nn.relu(h_child))
+        feat_1 = MLPConv([64, 128], name="mlp_1")(points)
+        gmax = jnp.broadcast_to(feat_1.max(axis=0, keepdims=True),
+                                feat_1.shape)
+        gcond = jnp.broadcast_to(feat_global[None, :],
+                                 (n, feat_global.shape[-1]))
+        feat_1 = jnp.concatenate([feat_1, gmax, gcond], axis=-1)
+        q = MLPConv([256, 128], name="mlp_2")(feat_1)
+        h = SkipTransformer(in_channel=128, dim=64, name="skip_transformer")(
+            points, q if k_prev is None else k_prev, q)
+        feat_child = MLPConv([64, 32], name="mlp_ps")(h)
+        feat_child = PointSplit(32, 128, self.up_factor, name="ps")(feat_child)
+        h_up = jnp.repeat(h, self.up_factor, axis=0)
+        k_curr = MLPRes(128, 128, name="mlp_delta_feature")(
+            jnp.concatenate([feat_child, h_up], axis=-1))
+        delta = MLPConv([64, 3], name="mlp_delta")(nn.relu(k_curr))
         if self.bounding:
-            delta = jnp.tanh(delta) / (self.radius ** 1)
-        return pts_child + delta, h_child
+            delta = jnp.tanh(delta) / (self.radius ** self.i)
+        return jnp.repeat(points, self.up_factor, axis=0) + delta, k_curr
+
+
+class ResidualCrossAttn(nn.Module):
+    """Pre-norm residual cross-attention block (snowflake/attention.py
+    ResidualTransformerBlock equivalent, used by SPD_crossattn)."""
+
+    dim: int = 128
+    heads: int = 4
+
+    @nn.compact
+    def __call__(self, x, cond):
+        h = nn.LayerNorm(name="norm")(x)
+        hd = self.dim // self.heads
+        q = nn.Dense(self.dim, name="to_q")(h).reshape(-1, self.heads, hd)
+        k = nn.Dense(self.dim, name="to_k")(cond).reshape(-1, self.heads, hd)
+        v = nn.Dense(self.dim, name="to_v")(cond).reshape(-1, self.heads, hd)
+        a = jnp.einsum("qhd,khd->hqk", q, k) / (hd ** 0.5)
+        a = jax.nn.softmax(a, axis=-1)
+        o = jnp.einsum("hqk,khd->qhd", a, v).reshape(-1, self.dim)
+        x = x + nn.Dense(self.dim, name="to_out")(o)
+        ff = nn.Dense(self.dim * 4, name="ff1")(nn.LayerNorm(name="norm2")(x))
+        return x + nn.Dense(self.dim, name="ff2")(nn.gelu(ff))
+
+
+class SPDCrossAttn(nn.Module):
+    """SPD_crossattn (SPD_crossattn.py:24-32): conditioning enters through a
+    cross-attention block over the cond tokens instead of concatenation."""
+
+    dim_feat: int = 128
+    up_factor: int = 2
+    i: int = 0
+    radius: float = 1.0
+    bounding: bool = True
+
+    @nn.compact
+    def __call__(self, points, cond_tokens, k_prev=None):
+        feat_1 = MLPConv([64, 128], name="mlp_1")(points)
+        feat_1 = ResidualCrossAttn(128, name="cross_attn")(feat_1, cond_tokens)
+        q = MLPConv([256, 128], name="mlp_2")(feat_1)
+        h = SkipTransformer(in_channel=128, dim=64, name="skip_transformer")(
+            points, q if k_prev is None else k_prev, q)
+        feat_child = MLPConv([64, 32], name="mlp_ps")(h)
+        feat_child = PointSplit(32, 128, self.up_factor, name="ps")(feat_child)
+        h_up = jnp.repeat(h, self.up_factor, axis=0)
+        k_curr = MLPRes(128, 128, name="mlp_delta_feature")(
+            jnp.concatenate([feat_child, h_up], axis=-1))
+        delta = MLPConv([64, 3], name="mlp_delta")(nn.relu(k_curr))
+        if self.bounding:
+            delta = jnp.tanh(delta) / (self.radius ** self.i)
+        return jnp.repeat(points, self.up_factor, axis=0) + delta, k_curr
 
 
 class SnowflakeDecoder(nn.Module):
-    """Multi-stage SPD upsampling (model_spdpp driver equivalent)."""
+    """Decoder driver (model_spdpp_my.py:100-186): mlp_feat_cond compresses
+    the conditioning tokens, then SPD stages upsample.
+
+    points: (N, 3); feat_cond: (N, input_channels) per-point conditioning
+    (the reference's 'image_token' mode projects DINOv2 tokens onto points
+    before this call; 'pcl_token' mode nearest-upsamples point tokens).
+    """
 
     up_factors: Sequence[int] = (2, 4)
+    input_channels: int = 512
     dim_feat: int = 128
+    radius: float = 1.0
+    bounding: bool = True
+    spd_type: str = "SPD_PP"
 
     @nn.compact
-    def __call__(self, points, feat_global):
-        feat_prev = None
+    def __call__(self, points, feat_cond):
+        cond = MLPConv([self.dim_feat * 2, self.dim_feat],
+                       name="mlp_feat_cond")(feat_cond)
+        k_prev = None
         all_levels = [points]
         for i, f in enumerate(self.up_factors):
-            points, feat_prev = SPD(
-                up_factor=f, dim_feat=self.dim_feat, name=f"spd_{i}")(
-                    points, feat_global, feat_prev)
+            # nearest-resample cond rows to the current point count (the
+            # reference's pcl_token mode nearest-upsamples per stage)
+            if cond.shape[0] != points.shape[0]:
+                src = (jnp.arange(points.shape[0]) * cond.shape[0]
+                       // points.shape[0])
+                cond_i = cond[src]
+            else:
+                cond_i = cond
+            if self.spd_type == "SPD_PP":
+                points, k_prev = SPDpp(
+                    dim_feat=self.dim_feat, up_factor=f, i=i,
+                    radius=self.radius, bounding=self.bounding,
+                    name=f"uppers_{i}")(points, cond_i, k_prev)
+            elif self.spd_type == "SPD_crossattn":
+                points, k_prev = SPDCrossAttn(
+                    dim_feat=self.dim_feat, up_factor=f, i=i,
+                    radius=self.radius, bounding=self.bounding,
+                    name=f"uppers_{i}")(points, cond, k_prev)
+            else:
+                points, k_prev = SPD(
+                    dim_feat=self.dim_feat, up_factor=f, i=i,
+                    radius=self.radius, bounding=self.bounding,
+                    name=f"uppers_{i}")(points, cond.mean(axis=0), k_prev)
             all_levels.append(points)
         return points, all_levels

@@ -104,6 +104,10 @@ class Transformer1D(nn.Module):
     head_dim: int = 64
     norm_groups: int = 32
     modulation_dim: Optional[int] = None
+    remat: bool = False   # gradient checkpointing per block: the counterpart
+    # of the reference's enable_gradient_checkpointing /
+    # snowflake/attention.py checkpointed MHA — trades FLOPs for HBM by
+    # rematerializing block activations in the backward pass.
 
     @nn.compact
     def __call__(self, tokens, modulation_cond=None, context=None):
@@ -115,8 +119,10 @@ class Transformer1D(nn.Module):
         )  # flax GroupNorm normalizes the last dim; tokens -> (B, N, C)
         inner = self.heads * self.head_dim
         h = nn.Dense(inner)(h)
+        block_cls = (nn.remat(TransformerBlock, static_argnums=())
+                     if self.remat else TransformerBlock)
         for i in range(self.num_layers):
-            h = TransformerBlock(
+            h = block_cls(
                 self.heads, self.head_dim, self.modulation_dim,
                 name=f"block_{i}")(h, cond=modulation_cond, context=context)
         h = nn.Dense(c)(h)

@@ -71,3 +71,47 @@ def blockwise_attention(q, k, v, mask=None, q_chunk: int = 2048,
     if mask is not None:
         out = out * mask[:, None, None].astype(out.dtype)
     return out
+
+
+def ring_blockwise_attention(q, k, v, mask, axis_name: str, n_dev: int):
+    """Cross-chip EXACT attention over the Gaussian axis (ROADMAP Scaling 3;
+    the sequence-parallel upgrade of the reference's 8-chunk memory hack,
+    renderer_one_shot.py:561-570).
+
+    Runs inside shard_map with the sequence sharded over ``axis_name``:
+    q, k, v: (N/D, H, Dh) local shards; mask: (N/D,) bool. Queries stay local;
+    key/value/mask blocks rotate around the ring via ppermute, with the
+    per-step partial softmax stats merged by the online-softmax recurrence —
+    collectives ride ICI, memory stays O(N/D * N/D) per step.
+    """
+    n_loc, h, d = q.shape
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d, q.dtype))
+    perm = [(j, (j + 1) % n_dev) for j in range(n_dev)]
+
+    def stats(kc, vc, mc):
+        s = jnp.einsum("qhd,khd->hqk", q, kc) * scale
+        s = jnp.where(mc[None, None, :], s, NEG_INF)
+        m = s.max(axis=-1)                       # (h, n_loc)
+        p = jnp.exp(s - m[..., None])
+        l = p.sum(axis=-1)
+        acc = jnp.einsum("hqk,khd->hqd", p, vc)
+        return m, l, acc
+
+    def body(_, carry):
+        m_run, l_run, acc, kc, vc, mc = carry
+        m_i, l_i, a_i = stats(kc, vc, mc)
+        m_new = jnp.maximum(m_run, m_i)
+        c1 = jnp.exp(m_run - m_new)
+        c2 = jnp.exp(m_i - m_new)
+        l_new = l_run * c1 + l_i * c2
+        acc = acc * c1[..., None] + a_i * c2[..., None]
+        kc = jax.lax.ppermute(kc, axis_name, perm)
+        vc = jax.lax.ppermute(vc, axis_name, perm)
+        mc = jax.lax.ppermute(mc, axis_name, perm)
+        return m_new, l_new, acc, kc, vc, mc
+
+    init = (jnp.full((h, n_loc), NEG_INF), jnp.zeros((h, n_loc)),
+            jnp.zeros((h, n_loc, d)), k, v, mask)
+    m_run, l_run, acc, *_ = jax.lax.fori_loop(0, n_dev, body, init)
+    out = (acc / jnp.maximum(l_run, 1e-30)[..., None]).transpose(1, 0, 2)
+    return out * mask[:, None, None].astype(out.dtype)

@@ -112,3 +112,124 @@ def test_interhand_load_sample(fake_dataset):
     img = np.asarray(batch["target_rgb"][0])
     msk = np.asarray(batch["target_mask"][0])
     assert np.abs(img[msk == 0]).max() == 0.0
+
+
+@pytest.fixture(scope="module")
+def fake_edit_dataset(fake_dataset, tmp_path_factory):
+    """Extend the fake layout with the edit-mode dirs: mode='train',
+    index_identity0_train_i/11388.pkl (fit) + index_identity_all_train_i
+    (drive split), dataset_one_shot.py:443-481 edit branches."""
+    root = fake_dataset["root"]
+    mode = "train"
+    proc = os.path.join(fake_dataset["proc"], mode)
+    rng = np.random.RandomState(3)
+
+    idx0 = os.path.join(proc, "index_identity0_train_i")
+    os.makedirs(idx0, exist_ok=True)
+    with open(os.path.join(idx0, "11388.pkl"), "wb") as f:
+        pickle.dump({"idx": 11388, "frame": 123, "capture": 0, "cam": 7}, f)
+    idx_all = os.path.join(proc, "index_identity_all_train_i")
+    os.makedirs(idx_all, exist_ok=True)
+    with open(os.path.join(idx_all, "0.pkl"), "wb") as f:
+        pickle.dump({"idx": 0, "frame": 123, "capture": 0, "cam": 7}, f)
+
+    ann = os.path.join(fake_dataset["ann"], mode)
+    os.makedirs(ann, exist_ok=True)
+    manos = {"0": {"123": {
+        h: {"pose": rng.uniform(-0.2, 0.2, 48).tolist(),
+            "shape": rng.uniform(-0.5, 0.5, 10).tolist(),
+            "trans": [0.0, 0.0, 0.0]} for h in ("right", "left")}}}
+    with open(os.path.join(ann, f"InterHand2.6M_{mode}_MANO_NeuralAnnot.json"),
+              "w") as f:
+        json.dump(manos, f)
+    with open(os.path.join(ann, f"InterHand2.6M_{mode}_joint_3d.json"),
+              "w") as f:
+        json.dump({"0": {"123": {"world_coord": np.zeros((42, 3)).tolist()}}},
+                  f)
+
+    anno_dir = os.path.join(proc, "annotation", "capture0", "cam7")
+    os.makedirs(anno_dir, exist_ok=True)
+    K = np.array([[100.0, 0, 32], [0, 100.0, 32], [0, 0, 1]], np.float32)
+    anno = {"camera": {"R": np.eye(3, dtype=np.float32),
+                       "t": np.array([0, 0, 1.0], np.float32),
+                       "in_K": K, "campos": np.zeros(3), "camrot": np.eye(3)},
+            "image_info": {}}
+    with open(os.path.join(anno_dir, "frame123.pkl"), "wb") as f:
+        pickle.dump(anno, f)
+
+    import PIL.Image
+
+    for kind, arr in [("image", rng.randint(0, 255, (64, 64, 3))),
+                      ("mask", np.where(rng.uniform(size=(64, 64)) > 0.4,
+                                        255, 0)),
+                      ("bbox_mask", np.full((64, 64), 255))]:
+        d = os.path.join(proc, kind, "capture0", "cam7")
+        os.makedirs(d, exist_ok=True)
+        PIL.Image.fromarray(arr.astype(np.uint8)).save(
+            os.path.join(d, "frame123.jpg"))
+
+    # custom RGBA edit target
+    edit_dir = tmp_path_factory.mktemp("edit_img")
+    rgba = rng.randint(0, 255, (48, 48, 4)).astype(np.uint8)
+    rgba[..., 3] = np.where(rng.uniform(size=(48, 48)) > 0.5, 255, 0)
+    edit_png = os.path.join(str(edit_dir), "edit.png")
+    PIL.Image.fromarray(rgba, "RGBA").save(edit_png)
+    return {**fake_dataset, "edit_png": edit_png}
+
+
+def test_interhand_edit_mode(fake_edit_dataset):
+    """Edit dataset path end to end: fixed frame 11388 from the train split,
+    RGBA custom image -> alpha mask, 100-step fit epochs, 10000-frame drive
+    split (dataset_one_shot.py:435-481 + dataset_edit.py)."""
+    from guassianhand_tpu.data.interhand import (InterHandConfig,
+                                                 InterHandDataset)
+
+    cfg = InterHandConfig(
+        data_root=fake_edit_dataset["proc"],
+        annot_path=fake_edit_dataset["ann"],
+        split="train", mode="test",  # edit forces mode='train'
+        edge_subdivide=1, mask_sa=False, render_mask=False,
+        mano_models_path=fake_edit_dataset["mano"],
+        edit=True, image_path=fake_edit_dataset["edit_png"],
+        height=64, width=64)
+    ds = InterHandDataset(cfg)
+    assert ds.cfg.mode == "train"
+    assert len(ds) == 100  # edit fit epochs
+
+    batch = ds.load_sample(0)
+    assert batch["frame_idx"] == 123  # via index_identity0_train_i/11388.pkl
+    assert batch["target_rgb"].shape == (1, 64, 64, 3)
+    # RGBA alpha became the mask: background zeroed where alpha off
+    img = np.asarray(batch["target_rgb"][0])
+    msk = np.asarray(batch["target_mask"][0])
+    assert msk.min() == 0.0 and msk.max() == 1.0
+    assert np.abs(img[msk == 0]).max() == 0.0
+
+    # drive split
+    cfg2 = InterHandConfig(
+        data_root=fake_edit_dataset["proc"],
+        annot_path=fake_edit_dataset["ann"],
+        split="test", mode="test", edge_subdivide=1, mask_sa=False,
+        render_mask=False, mano_models_path=fake_edit_dataset["mano"],
+        edit=True, height=64, width=64)
+    ds2 = InterHandDataset(cfg2)
+    assert len(ds2) == 10000
+    b2 = ds2.load_sample(0)  # index_identity_all_train_i/0.pkl
+    assert np.isfinite(np.asarray(b2["points"])).all()
+
+
+def test_color_jitter_applied(fake_dataset):
+    from guassianhand_tpu.data.interhand import (InterHandConfig,
+                                                 InterHandDataset)
+
+    base = dict(
+        data_root=fake_dataset["proc"], annot_path=fake_dataset["ann"],
+        split="train", edge_subdivide=1, mask_sa=False, render_mask=False,
+        mano_models_path=fake_dataset["mano"])
+    plain = InterHandDataset(InterHandConfig(**base)).load_sample(0)
+    jit = InterHandDataset(
+        InterHandConfig(**base, color_jitter=True)).load_sample(0)
+    a = np.asarray(plain["target_rgb"])
+    b = np.asarray(jit["target_rgb"])
+    assert a.shape == b.shape
+    assert not np.allclose(a, b)  # jitter actually applied

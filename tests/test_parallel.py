@@ -56,3 +56,90 @@ def test_sharded_step_matches_unsharded():
     a = np.asarray(p_ref["params"]["color_w"])
     b = np.asarray(p_sh["params"]["color_w"])
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_rasterize_matches_unsharded():
+    """Explicit Gaussian->tile all_to_all exchange (VERDICT r1 item 5):
+    sharded render and input gradients == the single-device rasterizer, and
+    the outputs/pair work actually shard over the model axis."""
+    from guassianhand_tpu.ops.rasterize import rasterize
+    from guassianhand_tpu.parallel.raster_shard import sharded_rasterize
+    from tests.utils import make_camera, make_gaussians
+
+    hw = 64
+    mesh = make_mesh(n_data=2)  # model axis = 4 == tile rows at 16px tiles
+    cam = make_camera(hw, hw)
+    g = make_gaussians(256, seed=4)
+    bg = jnp.array([0.2, 0.1, 0.3])
+    cfg = RasterizeConfig(interpret=True, max_tiles_per_gaussian=8)
+
+    ref = rasterize(g, cam, height=hw, width=hw, background=bg, use_rgb=True,
+                    config=cfg)
+    out = sharded_rasterize(g, cam, height=hw, width=hw, mesh=mesh,
+                            background=bg, config=cfg)
+    assert int(out["overflow"]) == 0
+    np.testing.assert_allclose(np.asarray(out["comp_rgb"]),
+                               np.asarray(ref["comp_rgb"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["comp_mask"]),
+                               np.asarray(ref["comp_mask"]), atol=1e-5)
+    # the image rows are genuinely model-sharded, not replicated
+    spec = out["comp_rgb"].sharding.spec
+    assert "model" in str(spec), spec
+
+    tgt = jnp.asarray(np.random.RandomState(0).uniform(0, 1, (hw, hw, 3)),
+                      jnp.float32)
+
+    def loss_sharded(xyz, shs, opacity):
+        gg = g.__class__(xyz=xyz, opacity=opacity, rotation=g.rotation,
+                         scaling=g.scaling, shs=shs)
+        o = sharded_rasterize(gg, cam, height=hw, width=hw, mesh=mesh,
+                              background=bg, config=cfg)
+        return (jnp.abs(o["comp_rgb"] - tgt).mean()
+                + 0.3 * (o["comp_mask"] ** 2).mean())
+
+    def loss_ref(xyz, shs, opacity):
+        gg = g.__class__(xyz=xyz, opacity=opacity, rotation=g.rotation,
+                         scaling=g.scaling, shs=shs)
+        o = rasterize(gg, cam, height=hw, width=hw, background=bg,
+                      use_rgb=True, config=cfg)
+        return (jnp.abs(o["comp_rgb"] - tgt).mean()
+                + 0.3 * (o["comp_mask"] ** 2).mean())
+
+    gs_s = jax.grad(loss_sharded, argnums=(0, 1, 2))(g.xyz, g.shs, g.opacity)
+    gs_r = jax.grad(loss_ref, argnums=(0, 1, 2))(g.xyz, g.shs, g.opacity)
+    for name, a, b in zip(["xyz", "shs", "opacity"], gs_s, gs_r):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(b).max() + 1e-12
+        np.testing.assert_allclose(a, b, atol=1e-4 * scale, rtol=1e-3,
+                                   err_msg=f"sharded grad mismatch {name}")
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_ring_attention_matches_dense():
+    """Ring attention over the model axis == dense attention (exact)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+    from guassianhand_tpu.ops.blockwise_attention import (
+        blockwise_attention, ring_blockwise_attention)
+
+    mesh = make_mesh(n_data=2)
+    n_dev = mesh.shape["model"]
+    n, h, d = 64, 2, 8
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.normal(size=(n, h, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(n, h, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(n, h, d)), jnp.float32)
+    mask = jnp.asarray(rng.uniform(size=n) > 0.3)
+
+    ref = blockwise_attention(q, k, v, mask, q_chunk=16, k_chunk=16)
+
+    fn = shard_map(
+        lambda qq, kk, vv, mm: ring_blockwise_attention(
+            qq, kk, vv, mm, "model", n_dev),
+        mesh=mesh, in_specs=(P("model"), P("model"), P("model"), P("model")),
+        out_specs=P("model"), check_rep=False)
+    with mesh:
+        out = fn(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=1e-4)
