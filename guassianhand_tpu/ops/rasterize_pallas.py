@@ -127,8 +127,11 @@ def _forward_block(attr, px, py, base, cnt, tc, g: int):
     acc = (cpincl >= T_EPS).astype(jnp.float32)
     w = alpha * cpexc * acc  # (P, G)
     cattr = attr[5:8, :]
+    # precision=HIGHEST: TPU fp32 dot defaults to bf16-truncated passes
+    # (~3e-3 abs error at 128-pair blocks — caught by scripts/probe_bwd_kernel).
     contrib = jax.lax.dot_general(
-        cattr, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        cattr, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
     # cpincl is non-increasing, so min over accepted == T after the last
     # accepted pair; exact because cpincl is an exact product chain.
     t_new = jnp.min(jnp.where(acc > 0, cpincl, tc), axis=1, keepdims=True)
@@ -393,7 +396,8 @@ def _bwd_kernel(boff_ref, cnt_ref, tob_ref, bob_ref,
         cattr = attr[5:8, :]
         e = jax.lax.dot_general(  # e[p, i] = sum_ch g[ch, p] c[ch, i]
             gimg, cattr, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (P, G)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)  # (P, G)
         we = w * e
         # Exclusive suffix sum of we via a reversed Hillis-Steele scan —
         # summed directly (total-minus-prefix cancels catastrophically
@@ -420,7 +424,8 @@ def _bwd_kernel(boff_ref, cnt_ref, tob_ref, bob_ref,
         dc = jnp.sum(dpower * (-0.5 * dy * dy), axis=0, keepdims=True)
         dcol = jax.lax.dot_general(
             gimg, w, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (3, G)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)  # (3, G)
 
         # Double-buffered grad write-back: before reusing a slot, retire the
         # DMA started from it two iterations ago.

@@ -76,7 +76,9 @@ def composite_reference(
     accept = jax.lax.stop_gradient(cp_incl >= T_EPS)
     w = alpha_eff * cp_excl * accept.astype(alpha.dtype)
 
-    img = w @ color  # (P, 3)
+    # HIGHEST: TPU fp32 matmul default truncates inputs to bf16 — the oracle
+    # must be exact or kernel-parity checks chase phantom errors.
+    img = jnp.matmul(w, color, precision=jax.lax.Precision.HIGHEST)  # (P, 3)
     final_t = jnp.min(jnp.where(accept, cp_incl, 1.0), axis=1)
     img = img + final_t[:, None] * background[None, :]
     alpha_out = 1.0 - final_t

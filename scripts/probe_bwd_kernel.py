@@ -1,17 +1,17 @@
-"""Isolate the composite_backward kernel: interpret-on-CPU vs compiled-on-TPU
-on IDENTICAL inputs.
+"""Isolate the composite kernels: interpret-on-CPU vs compiled-on-TPU on
+IDENTICAL inputs (saved to npz by `gen`, loaded by `tpu`).
 
 Usage:
-  python scripts/probe_bwd_kernel.py gen   # CPU: dump inputs + reference grads
-  python scripts/probe_bwd_kernel.py tpu   # TPU: run compiled, compare
+  python scripts/probe_bwd_kernel.py gen   # CPU: dump inputs + reference outs
+  python scripts/probe_bwd_kernel.py tpu   # TPU: run compiled on saved inputs
 """
 import sys
 
 sys.path.insert(0, "/root/repo")
 
 NPZ = "/tmp/bwd_probe.npz"
-HW = 64
-N = 256
+HW = 96
+N = 512
 
 
 def build_inputs():
@@ -22,9 +22,8 @@ def build_inputs():
     from guassianhand_tpu.ops import binning as binning_lib
     from guassianhand_tpu.ops.rasterize import (RasterizeConfig, _build_attr,
                                                 _block_offsets)
-    import guassianhand_tpu.ops.rasterize as rl
 
-    cfg = RasterizeConfig(max_tiles_per_gaussian=8)
+    cfg = RasterizeConfig(max_tiles_per_gaussian=16)
     cam = make_camera(HW, HW)
     g = make_gaussians(N, seed=3)
     proj = project_gaussians(g.xyz, g.scaling, g.rotation, cam)
@@ -40,34 +39,52 @@ def build_inputs():
     rng = np.random.RandomState(0)
     p = cfg.tile_size * cfg.tile_size
     gtiles = rng.normal(size=(num_tiles, 8, p)).astype(np.float32)
-    return (cfg, np.asarray(attr), np.asarray(block_off),
-            np.asarray(b.counts), np.asarray(b.tile_of_block),
-            np.asarray(b.base_of_block), gtiles, num_tiles, ntx)
+    return dict(attr=np.asarray(attr), block_off=np.asarray(block_off),
+                counts=np.asarray(b.counts), tob=np.asarray(b.tile_of_block),
+                bob=np.asarray(b.base_of_block), gtiles=gtiles,
+                num_tiles=num_tiles, ntx=ntx, tile_size=cfg.tile_size,
+                block_size=cfg.block_size,
+                max_blocks_per_tile=cfg.max_blocks_per_tile)
 
 
-def run(interpret):
+def run(inp, interpret):
     import numpy as np
     import jax.numpy as jnp
     from guassianhand_tpu.ops import rasterize_pallas as kern
 
-    (cfg, attr, block_off, counts, tob, bob, gtiles, num_tiles,
-     ntx) = build_inputs()
+    num_tiles = int(inp["num_tiles"])
+    kw = dict(num_tiles=num_tiles, ntx=int(inp["ntx"]),
+              tile_size=int(inp["tile_size"]),
+              block_size=int(inp["block_size"]),
+              max_blocks_per_tile=int(inp["max_blocks_per_tile"]),
+              interpret=interpret)
     tiles, tchk = kern.composite_forward(
-        jnp.asarray(attr), jnp.asarray(block_off), jnp.asarray(counts),
-        num_tiles=num_tiles, ntx=ntx, tile_size=cfg.tile_size,
-        block_size=cfg.block_size, max_blocks_per_tile=cfg.max_blocks_per_tile,
-        interpret=interpret)
-    gt = np.array(gtiles)
-    gt[:, 4, :] = np.asarray(tiles[:, 3])  # row 4 must be T_final
+        jnp.asarray(inp["attr"]), jnp.asarray(inp["block_off"]),
+        jnp.asarray(inp["counts"]), **kw)
+    gt = np.array(inp["gtiles"])
+    gt[:, 4, :] = np.asarray(tiles[:num_tiles, 3])  # row 4 must be T_final
     grads = kern.composite_backward(
-        jnp.asarray(attr), tchk, jnp.asarray(gt), jnp.asarray(block_off),
-        jnp.asarray(counts), jnp.asarray(tob), jnp.asarray(bob),
-        num_tiles=num_tiles, ntx=ntx, tile_size=cfg.tile_size,
-        block_size=cfg.block_size, max_blocks_per_tile=cfg.max_blocks_per_tile,
-        interpret=interpret)
-    # only slots with real pairs are defined; mask via counts-driven layout
-    return (np.asarray(tiles), np.asarray(tchk), np.asarray(grads),
-            block_off, counts, cfg.block_size, num_tiles)
+        jnp.asarray(inp["attr"]), tchk, jnp.asarray(gt),
+        jnp.asarray(inp["block_off"]), jnp.asarray(inp["counts"]),
+        jnp.asarray(inp["tob"]), jnp.asarray(inp["bob"]), **kw)
+    return np.asarray(tiles), np.asarray(tchk), np.asarray(grads)
+
+
+def valid_masks(inp):
+    """(pair_mask over PP, block_mask over TB) for defined slots."""
+    import numpy as np
+    g = int(inp["block_size"])
+    bo = inp["block_off"]
+    counts = inp["counts"]
+    num_tiles = int(inp["num_tiles"])
+    pp = inp["attr"].shape[1]
+    pair_mask = np.zeros(pp, bool)
+    nblocks = 0
+    for t in range(num_tiles):
+        base = int(bo[t]) * g
+        pair_mask[base: base + int(counts[t])] = True
+        nblocks = max(nblocks, int(bo[t + 1]))
+    return pair_mask, nblocks
 
 
 def main():
@@ -77,36 +94,38 @@ def main():
     if mode == "gen":
         import jax
         jax.config.update("jax_platforms", "cpu")
-        tiles, tchk, grads, block_off, counts, g, num_tiles = run(True)
-        np.savez(NPZ, tiles=tiles, tchk=tchk, grads=grads,
-                 block_off=block_off, counts=counts, g=g,
-                 num_tiles=num_tiles)
-        print("[t] saved reference", flush=True)
+        inp = build_inputs()
+        tiles, tchk, grads = run(inp, True)
+        np.savez(NPZ, tiles=tiles, tchk=tchk, grads=grads, **inp)
+        print(f"[t] saved reference: {int(inp['counts'][:int(inp['num_tiles'])].sum())} pairs",
+              flush=True)
     else:
         import time
         import jax
         print("[t] backend:", jax.devices()[0].platform, flush=True)
-        ref = np.load(NPZ)
+        ref = dict(np.load(NPZ))
         t0 = time.time()
-        tiles, tchk, grads, block_off, counts, g, num_tiles = run(False)
+        tiles, tchk, grads = run(ref, False)
         print(f"[t] compiled run {time.time() - t0:.1f}s", flush=True)
 
-        # valid slab slots mask
-        nb = -(-ref["counts"][:int(ref["num_tiles"])] // int(ref["g"]))
-        mask = np.zeros(grads.shape[1], bool)
-        bo = ref["block_off"]
-        for t in range(int(ref["num_tiles"])):
-            base = bo[t] * int(ref["g"])
-            mask[base: base + ref["counts"][t]] = True
-
-        for name, a, b in [("tiles", tiles, ref["tiles"]),
-                           ("tchk", tchk, ref["tchk"]),
-                           ("grads", grads[:, mask],
-                            ref["grads"][:, mask])]:
+        pair_mask, nblocks = valid_masks(ref)
+        num_tiles = int(ref["num_tiles"])
+        checks = [
+            ("tiles[0:4]", tiles[:num_tiles, :4], ref["tiles"][:num_tiles, :4]),
+            ("tchk", tchk[:nblocks], ref["tchk"][:nblocks]),
+            ("grads[0:9]", grads[:9, pair_mask], ref["grads"][:9, pair_mask]),
+        ]
+        bad = False
+        for name, a, b in checks:
             d = np.abs(a - b)
             rel = d / (np.abs(b) + 1e-6)
+            frac = (rel > 1e-3).mean()
             print(f"[t] {name}: max abs {d.max():.3e} max rel {rel.max():.3e}"
-                  f" mismatch@1e-4rel {(rel > 1e-4).mean():.4f}", flush=True)
+                  f" mismatch@1e-3rel {frac:.4f}", flush=True)
+            if d.max() > 1e-3 * (np.abs(b).max() + 1e-6):
+                bad = True
+        print("[t]", "MISMATCH" if bad else "parity OK", flush=True)
+        sys.exit(1 if bad else 0)
 
 
 if __name__ == "__main__":
