@@ -45,6 +45,10 @@ class Binning:
     """Static-shape binning result.
 
     pair_gidx:  (PP,) int32 Gaussian index per slab slot; sentinel N padding.
+    pair_eidx:  (PP,) int32 enumeration index (gaussian * M + m) per slot;
+                sentinel N*M padding. Real entries are UNIQUE across the slab
+                (each sorted pair lands in at most one slot); gaussian ids
+                are pair_eidx // M (the sentinel maps to the sentinel id N).
     tile_of_block / base_of_block: (TB,) int32 per-block owning tile and the
                 slot offset of the block within its tile's run.
     counts:     (T+1,) int32 number of real pairs per tile (dummy tile last).
@@ -53,6 +57,7 @@ class Binning:
     """
 
     pair_gidx: jax.Array
+    pair_eidx: jax.Array
     tile_of_block: jax.Array
     base_of_block: jax.Array
     counts: jax.Array
@@ -88,6 +93,7 @@ def bin_gaussians(
     height: int,
     width: int,
     cfg: BinningConfig = BinningConfig(),
+    y_band=None,
 ) -> Binning:
     n = mean2d.shape[0]
     m = cfg.max_tiles_per_gaussian
@@ -98,7 +104,8 @@ def bin_gaussians(
     mean2d = jax.lax.stop_gradient(mean2d)
     depth = jax.lax.stop_gradient(depth)
 
-    x0, x1, y0, y1 = tile_rect(mean2d, radius, ntx, nty, cfg.tile_size)
+    x0, x1, y0, y1 = tile_rect(mean2d, radius, ntx, nty, cfg.tile_size,
+                               y_band=y_band)
     rw = x1 - x0
     rh = y1 - y0
     need = jnp.where(visible, rw * rh, 0)  # (N,)
@@ -123,18 +130,20 @@ def bin_gaussians(
     tile_id = jnp.where(valid, ty * ntx + tx, num_tiles).astype(jnp.int32)
 
     tile_flat = tile_id.reshape(-1)
-    gidx_flat = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None], (n, m)
-    ).reshape(-1)
-
-    # 2-key stable lexicographic sort. A packed single-int32-key variant
-    # (tile << rank_bits | depth-rank) was measured SLOWER end-to-end
-    # (10.7M vs 15.0M rays/s at 512^2) despite fewer operands — XLA's TPU
-    # sort does not reward key packing; keep the direct form.
     depth_flat = jnp.broadcast_to(depth[:, None], (n, m)).reshape(-1)
-    tile_s, _, gidx_s = jax.lax.sort(
-        (tile_flat, depth_flat, gidx_flat), num_keys=2, is_stable=True
+
+    # 2-key stable lexicographic sort over the full (N, M) enumeration grid.
+    # Measured-and-rejected alternatives at the 512^2 bench:
+    # - packed single-int32 key (tile << rank_bits | depth-rank): 10.7M vs
+    #   15.0M rays/s — XLA's TPU sort does not reward key packing;
+    # - pre-sort compaction of the ~23% valid pairs via unique-index scatter:
+    #   projbin 6.3 -> 13.8 ms — XLA TPU scatter costs ~10 ns/element even
+    #   with unique_indices=True, dwarfing the sort savings.
+    eidx_flat = jnp.arange(n * m, dtype=jnp.int32)
+    tile_s, _, eidx_s = jax.lax.sort(
+        (tile_flat, depth_flat, eidx_flat), num_keys=2, is_stable=True
     )
+    cap_c = n * m
 
     # Per-tile ranges via searchsorted. Measured alternatives both lose on
     # TPU: scatter-based boundary marking costs ~ the full 786k update count
@@ -187,11 +196,13 @@ def bin_gaussians(
     src = src_base[:, None] + jj[None, :]             # (TB, G)
     ok = ((tile_of_block < num_tiles)[:, None]
           & (base_of_block[:, None] + jj[None, :] < cnt_b[:, None]))
-    src = jnp.clip(src, 0, n * m - 1)
-    pair_gidx = jnp.where(ok, gidx_s[src], n).reshape(-1)
+    src = jnp.clip(src, 0, cap_c - 1)
+    pair_eidx = jnp.where(ok, eidx_s[src], n * m).reshape(-1)
+    pair_gidx = jnp.minimum(pair_eidx // m, n)
 
     return Binning(
         pair_gidx=pair_gidx,
+        pair_eidx=pair_eidx,
         tile_of_block=tile_of_block,
         base_of_block=base_of_block,
         counts=counts,

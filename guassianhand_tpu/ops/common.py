@@ -26,15 +26,19 @@ def straight_through_alpha(alpha_raw: jax.Array) -> jax.Array:
 
 
 def tile_rect(mean2d: jax.Array, radius: jax.Array, n_tiles_x: int, n_tiles_y: int,
-              tile_size: int):
+              tile_size: int, y_band=None):
     """Tile-space bounding rect [min, max) per Gaussian, CUDA getRect semantics.
 
     mean2d: (N, 2) pixel coords; radius: (N,). Returns int32 (N,) x0, x1, y0, y1.
+    y_band: optional per-Gaussian (y_lo, y_hi) tile-row clamp — used by the
+    stacked multi-view canvas so a view's Gaussians never bleed into the
+    vertically adjacent view's tiles.
     """
     x, y = mean2d[:, 0], mean2d[:, 1]
     ts = float(tile_size)
+    y_lo, y_hi = (0, n_tiles_y) if y_band is None else y_band
     x0 = jnp.clip(((x - radius) / ts).astype(jnp.int32), 0, n_tiles_x)
-    y0 = jnp.clip(((y - radius) / ts).astype(jnp.int32), 0, n_tiles_y)
+    y0 = jnp.clip(((y - radius) / ts).astype(jnp.int32), y_lo, y_hi)
     x1 = jnp.clip(((x + radius + ts - 1) / ts).astype(jnp.int32), 0, n_tiles_x)
-    y1 = jnp.clip(((y + radius + ts - 1) / ts).astype(jnp.int32), 0, n_tiles_y)
+    y1 = jnp.clip(((y + radius + ts - 1) / ts).astype(jnp.int32), y_lo, y_hi)
     return x0, x1, y0, y1

@@ -85,14 +85,17 @@ def _int_cotangent(x):
     return np.zeros(x.shape, dtype=jax.dtypes.float0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
-def _composite(mean2d, conic, color, opacity, pair_gidx, tile_of_block,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13, 14))
+def _composite(mean2d, conic, color, opacity, pair_eidx, tile_of_block,
                base_of_block, counts, height, width, tile_size, block_size,
-               max_blocks_per_tile, interpret):
-    out, _ = _composite_fwd(mean2d, conic, color, opacity, pair_gidx,
+               max_blocks_per_tile, interpret, enum_m):
+    """pair_eidx: (PP,) enum indices (gaussian * enum_m + slot), sentinel
+    N * enum_m for padding; real entries unique across the slab (see
+    binning.Binning.pair_eidx). enum_m == 1 means indices ARE gaussian ids."""
+    out, _ = _composite_fwd(mean2d, conic, color, opacity, pair_eidx,
                             tile_of_block, base_of_block, counts, height,
                             width, tile_size, block_size, max_blocks_per_tile,
-                            interpret)
+                            interpret, enum_m)
     return out
 
 
@@ -102,11 +105,12 @@ def _block_offsets(counts, num_tiles, block_size):
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(nb).astype(jnp.int32)])
 
 
-def _composite_fwd(mean2d, conic, color, opacity, pair_gidx, tile_of_block,
+def _composite_fwd(mean2d, conic, color, opacity, pair_eidx, tile_of_block,
                    base_of_block, counts, height, width, tile_size,
-                   block_size, max_blocks_per_tile, interpret):
+                   block_size, max_blocks_per_tile, interpret, enum_m):
     ntx, nty = binning_lib.grid_dims(height, width, tile_size)
     num_tiles = ntx * nty
+    pair_gidx = pair_eidx // enum_m  # sentinel N*M maps to the sentinel col N
     attr = _build_attr(mean2d, conic, color, opacity, pair_gidx)
     block_off = _block_offsets(counts, num_tiles, block_size)
     tiles, tchk = kern.composite_forward(
@@ -116,14 +120,14 @@ def _composite_fwd(mean2d, conic, color, opacity, pair_gidx, tile_of_block,
         interpret=interpret)  # (T, 8, P), (TBk, P)
     rgb = _tiles_to_image(tiles[:, 0:3], height, width, tile_size)
     final_t = _tiles_to_image(tiles[:, 3:4], height, width, tile_size)[..., 0]
-    residuals = (mean2d, conic, color, opacity, attr, tchk, pair_gidx,
+    residuals = (mean2d, conic, color, opacity, attr, tchk, pair_eidx,
                  tile_of_block, base_of_block, block_off, counts, tiles[:, 3])
     return (rgb, final_t), residuals
 
 
 def _composite_bwd(height, width, tile_size, block_size, max_blocks_per_tile,
-                   interpret, residuals, cotangents):
-    (mean2d, conic, color, opacity, attr, tchk, pair_gidx, tile_of_block,
+                   interpret, enum_m, residuals, cotangents):
+    (mean2d, conic, color, opacity, attr, tchk, pair_eidx, tile_of_block,
      base_of_block, block_off, counts, tfinal_tiles) = residuals
     g_rgb, g_t = cotangents
     ntx, nty = binning_lib.grid_dims(height, width, tile_size)
@@ -148,10 +152,14 @@ def _composite_bwd(height, width, tile_size, block_size, max_blocks_per_tile,
         block_size=block_size, max_blocks_per_tile=max_blocks_per_tile,
         interpret=interpret)  # (16, PP)
 
+    # Per-gaussian reduction. (A unique-index scatter into the (N*M, 9) enum
+    # grid + dense reduce was measured SLOWER than this segment_sum — XLA TPU
+    # scatter costs ~10 ns/element regardless of unique_indices.)
     n = mean2d.shape[0]
+    pair_gidx = jnp.minimum(pair_eidx // enum_m, n)
     seg = jax.ops.segment_sum(pair_grads.T, pair_gidx, num_segments=n + 1)[:n]
     return (seg[:, 0:2], seg[:, 2:5], seg[:, 5:8], seg[:, 8],
-            _int_cotangent(pair_gidx), _int_cotangent(tile_of_block),
+            _int_cotangent(pair_eidx), _int_cotangent(tile_of_block),
             _int_cotangent(base_of_block), _int_cotangent(counts))
 
 
@@ -195,9 +203,10 @@ def rasterize(
 
     rgb, final_t = _composite(
         proj.mean2d, proj.conic, color, opacity,
-        binning.pair_gidx, binning.tile_of_block, binning.base_of_block,
+        binning.pair_eidx, binning.tile_of_block, binning.base_of_block,
         binning.counts, height, width, config.tile_size, config.block_size,
-        config.max_blocks_per_tile, config.interpret)
+        config.max_blocks_per_tile, config.interpret,
+        config.max_tiles_per_gaussian)
 
     rgb = rgb + final_t[..., None] * background[None, None, :]
     return {
@@ -214,3 +223,93 @@ def render_gaussians(gaussians, w2c, K, *, height, width, **kwargs):
     """Convenience wrapper building the Camera from (w2c, K)."""
     cam = Camera.from_w2c(w2c, K, height, width)
     return rasterize(gaussians, cam, height=height, width=width, **kwargs)
+
+
+def rasterize_multiview(
+    gaussians: Gaussians,
+    w2cs: jax.Array,
+    Ks: jax.Array,
+    *,
+    height: int,
+    width: int,
+    background: Optional[jax.Array] = None,
+    sh_degree: int = 3,
+    use_rgb: bool = False,
+    config: RasterizeConfig = RasterizeConfig(),
+):
+    """Render V views in ONE binning + ONE composite launch.
+
+    The reference rasterizes per view in a python loop
+    (renderer_one_shot.py:494-503); a vmap replays binning per view. Here the
+    V views are stacked vertically on a (V * H_band, W) canvas (bands are
+    tile-row aligned): each view's projected means are offset by v * H_band
+    and its tile rects clamped to the view's tile-row band, so a single sort
+    + slab + kernel walk composites every view. Gradients flow to the shared
+    Gaussians through each view's projection by ordinary autodiff.
+
+    w2cs: (V, 4, 4); Ks: (V, 3, 3) or (V, 4, 4).
+    Returns dict with comp_rgb (V, H, W, 3), comp_mask / final_t (V, H, W),
+    n_pairs, overflow.
+    """
+    if background is None:
+        background = jnp.zeros((3,), jnp.float32)
+    background = jnp.asarray(background, jnp.float32)
+
+    v = w2cs.shape[0]
+    ts = config.tile_size
+    nty_band = -(-height // ts)
+    band_h = nty_band * ts
+    n = gaussians.xyz.shape[0]
+    opacity = gaussians.effective_opacity()[:, 0]
+
+    def proj_one(w2c, K):
+        cam = Camera.from_w2c(w2c, K, height, width)
+        proj = project_gaussians(
+            gaussians.xyz, gaussians.scaling, gaussians.rotation, cam,
+            scale_modifier=config.scale_modifier, znear=config.znear,
+            zfar=config.zfar)
+        if use_rgb:
+            color = gaussians.shs[:, 0, :]
+        else:
+            dirs = gaussians.xyz - cam.camera_center()[None, :]
+            dirs = dirs / jnp.maximum(
+                jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-9)
+            color = sh_lib.eval_sh(sh_degree, gaussians.shs, dirs)
+        return proj, color
+
+    projs, colors = jax.vmap(proj_one)(w2cs, Ks)  # (V, N, ...)
+
+    yoff = (jnp.arange(v, dtype=jnp.float32) * band_h)[:, None]
+    mean2d = jnp.stack(
+        [projs.mean2d[..., 0], projs.mean2d[..., 1] + yoff], axis=-1
+    ).reshape(v * n, 2)
+    conic = projs.conic.reshape(v * n, 3)
+    color = colors.reshape(v * n, 3)
+    depth = projs.depth.reshape(v * n)
+    radius = projs.radius.reshape(v * n)
+    visible = projs.visible.reshape(v * n)
+    opacity_f = jnp.broadcast_to(opacity[None, :], (v, n)).reshape(v * n)
+
+    band_lo = jnp.repeat(jnp.arange(v, dtype=jnp.int32) * nty_band, n)
+    binning = binning_lib.bin_gaussians(
+        mean2d, depth, radius, visible,
+        height=v * band_h, width=width, cfg=config.binning(),
+        y_band=(band_lo, band_lo + nty_band))
+
+    rgb, final_t = _composite(
+        mean2d, conic, color, opacity_f,
+        binning.pair_eidx, binning.tile_of_block, binning.base_of_block,
+        binning.counts, v * band_h, width, config.tile_size,
+        config.block_size, config.max_blocks_per_tile, config.interpret,
+        config.max_tiles_per_gaussian)
+
+    rgb = rgb + final_t[..., None] * background[None, None, :]
+    rgb = rgb.reshape(v, band_h, width, 3)[:, :height]
+    final_t = final_t.reshape(v, band_h, width)[:, :height]
+    return {
+        "comp_rgb": rgb,
+        "comp_mask": 1.0 - final_t,
+        "final_t": final_t,
+        "n_pairs": binning.n_pairs,
+        "overflow": binning.overflow,
+    }

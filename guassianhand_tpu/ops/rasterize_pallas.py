@@ -198,6 +198,10 @@ def _fwd_kernel(boff_ref, cnt_ref, attr_hbm, out_hbm, tchk_hbm,
             def _():
                 dma_k(kslot, kc).start()
 
+            # NOTE on early termination: wrapping the block math in
+            # jax.lax.cond(max(tc) >= T_EPS, ...) was measured at +5.6 ms at
+            # the 512^2 bench — Mosaic branches around vector code spill the
+            # loop carries and pay for both branches; do NOT reintroduce it.
             contrib, t_new = _forward_block(abuf[cur], px, py, b * g, cnt,
                                             tc, g)
             return t_new, acc + contrib
@@ -402,7 +406,9 @@ def _bwd_kernel(boff_ref, cnt_ref, tob_ref, bob_ref,
         # Exclusive suffix sum of we via a reversed Hillis-Steele scan —
         # summed directly (total-minus-prefix cancels catastrophically
         # exactly where the suffix is small, which showed up as ~1% gradient
-        # error against the oracle on TPU).
+        # error against the oracle on TPU). (A lax.cond early-skip of this
+        # math when max(tstart) < T_EPS was measured at +12 ms fwd+bwd —
+        # Mosaic pays for both branches; do NOT reintroduce it.)
         lane = jax.lax.broadcasted_iota(jnp.int32, we.shape, 1)
         z = jnp.where(lane < g - 1, pltpu.roll(we, g - 1, axis=1), 0.0)
         s = 1
@@ -426,6 +432,7 @@ def _bwd_kernel(boff_ref, cnt_ref, tob_ref, bob_ref,
             gimg, w, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)  # (3, G)
+        we_sum = jnp.sum(we, axis=1, keepdims=True)
 
         # Double-buffered grad write-back: before reusing a slot, retire the
         # DMA started from it two iterations ago.
@@ -445,7 +452,7 @@ def _bwd_kernel(boff_ref, cnt_ref, tob_ref, bob_ref,
         obuf[oslot, 9:, :] = jnp.zeros_like(obuf[oslot, 9:, :])
         dma_out(oslot, b).start()
 
-        return r_in + jnp.sum(we, axis=1, keepdims=True), gslot
+        return r_in + we_sum, gslot
 
     jax.lax.fori_loop(0, c_total, body,
                       (jnp.zeros((p, 1), jnp.float32), jnp.int32(1)))

@@ -218,7 +218,7 @@ def sharded_rasterize(gaussians: Gaussians, camera: Camera, *, height: int,
         rgb, final_t = raster_lib._composite(
             mean2d_r, conic_r, color_r, op_r, pair_gidx, tob, bob, counts,
             band_h, width, ts, g, config.max_blocks_per_tile,
-            config.interpret)
+            config.interpret, 1)  # enum_m=1: pair ids ARE the virtual ids
         rgb = rgb + final_t[..., None] * background[None, None, :]
         ov = (dropped + jnp.sum(jnp.maximum(need - m, 0))).astype(jnp.int32)
         return rgb, 1.0 - final_t, final_t, ov[None]

@@ -28,7 +28,8 @@ from guassianhand_tpu.core.gaussians import Gaussians
 from guassianhand_tpu.nn.heads import GSLayer, VertValid, VertPosRefinement
 from guassianhand_tpu.nn.mlp import MLP
 from guassianhand_tpu.ops.grid_sample import grid_sample_2d
-from guassianhand_tpu.ops.rasterize import RasterizeConfig, rasterize
+from guassianhand_tpu.ops.rasterize import (RasterizeConfig, rasterize,
+                                            rasterize_multiview)
 from guassianhand_tpu.mano.uv import normalize_uv
 
 
@@ -52,6 +53,7 @@ class RendererConfig:
     threshold_high: float = 0.9
     sh_degree: int = 3
     use_rgb: bool = True
+    multiview_batched: bool = True  # one binning+kernel launch for all views
     raster: RasterizeConfig = RasterizeConfig()
 
 
@@ -152,7 +154,18 @@ class GSRenderer(nn.Module):
     def render_views(self, gs: Gaussians, w2cs: jax.Array, Ks: jax.Array,
                      height: int, width: int,
                      background: Optional[jax.Array] = None):
-        """w2cs (V, 4, 4), Ks (V, 3/4, 3/4) -> stacked view dict."""
+        """w2cs (V, 4, 4), Ks (V, 3/4, 3/4) -> stacked view dict.
+
+        With ``multiview_batched`` the V views share one binning + one
+        composite launch via the stacked-canvas path
+        (ops/rasterize.rasterize_multiview); otherwise vmap per view.
+        """
+        if self.cfg.multiview_batched:
+            out = rasterize_multiview(
+                gs, w2cs, Ks, height=height, width=width,
+                background=background, sh_degree=self.cfg.sh_degree,
+                use_rgb=self.cfg.use_rgb, config=self.cfg.raster)
+            return {"comp_rgb": out["comp_rgb"], "comp_mask": out["comp_mask"]}
 
         def one_view(w2c, K):
             cam = Camera.from_w2c(w2c, K, height, width)

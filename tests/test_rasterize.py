@@ -234,3 +234,100 @@ def test_binning_overflow_paths():
     assert np.isfinite(img).all()
     m = np.asarray(out["comp_mask"])
     assert (m >= 0).all() and (m <= 1 + 1e-6).all()
+
+
+def test_multiview_matches_per_view():
+    """Stacked-canvas multi-view (one binning + one kernel launch) must agree
+    with independent per-view rasterization — forward AND gradients
+    (VERDICT r1 #8)."""
+    from guassianhand_tpu.ops.rasterize import rasterize_multiview
+    from guassianhand_tpu.core.camera import Camera
+
+    hw = 48
+    g = make_gaussians(160, seed=11, opacity_range=(0.2, 0.8))
+    bg = jnp.array([0.1, 0.05, 0.2])
+
+    # three cameras orbiting the cluster
+    w2cs, Ks = [], []
+    f = 1.2 * hw
+    K = np.array([[f, 0, hw / 2], [0, f, hw / 2], [0, 0, 1]], np.float32)
+    for ang in (0.0, 0.4, -0.7):
+        c, s = np.cos(ang), np.sin(ang)
+        R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        w2c = np.eye(4, dtype=np.float32)
+        w2c[:3, :3] = R
+        w2c[2, 3] = 1.6
+        w2cs.append(w2c)
+        Ks.append(K)
+    w2cs = jnp.asarray(np.stack(w2cs))
+    Ks = jnp.asarray(np.stack(Ks))
+
+    def mv(xyz):
+        gg = g.__class__(xyz=xyz, opacity=g.opacity, rotation=g.rotation,
+                         scaling=g.scaling, shs=g.shs)
+        out = rasterize_multiview(gg, w2cs, Ks, height=hw, width=hw,
+                                  background=bg, use_rgb=True, config=CFG)
+        return out
+
+    def pv(xyz):
+        gg = g.__class__(xyz=xyz, opacity=g.opacity, rotation=g.rotation,
+                         scaling=g.scaling, shs=g.shs)
+        outs = [rasterize(gg, Camera.from_w2c(w2cs[i], Ks[i], hw, hw),
+                          height=hw, width=hw, background=bg, use_rgb=True,
+                          config=CFG) for i in range(3)]
+        return outs
+
+    out_mv = mv(g.xyz)
+    assert int(out_mv["overflow"]) == 0
+    outs_pv = pv(g.xyz)
+    for i in range(3):
+        np.testing.assert_allclose(
+            np.asarray(out_mv["comp_rgb"][i]),
+            np.asarray(outs_pv[i]["comp_rgb"]), atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(out_mv["comp_mask"][i]),
+            np.asarray(outs_pv[i]["comp_mask"]), atol=1e-5, rtol=1e-5)
+
+    def loss_mv(xyz):
+        out = mv(xyz)
+        return jnp.abs(out["comp_rgb"]).mean() + (out["comp_mask"] ** 2).mean()
+
+    def loss_pv(xyz):
+        outs = pv(xyz)
+        rgb = jnp.stack([o["comp_rgb"] for o in outs])
+        mask = jnp.stack([o["comp_mask"] for o in outs])
+        return jnp.abs(rgb).mean() + (mask ** 2).mean()
+
+    g_mv = np.asarray(jax.grad(loss_mv)(g.xyz))
+    g_pv = np.asarray(jax.grad(loss_pv)(g.xyz))
+    scale = np.abs(g_pv).max() + 1e-12
+    np.testing.assert_allclose(g_mv, g_pv, atol=1e-5 * scale, rtol=1e-4)
+
+
+def test_multiview_band_isolation():
+    """A gaussian near a view's top/bottom edge must not bleed into the
+    vertically adjacent view on the stacked canvas (y_band clamp)."""
+    from guassianhand_tpu.ops.rasterize import rasterize_multiview
+
+    hw = 32
+    # one big gaussian centered near the bottom edge of the image
+    g = make_gaussians(1, seed=0, scale_range=(0.3, 0.3))
+    g = g.__class__(xyz=jnp.array([[0.0, 0.45, 0.0]]),
+                    opacity=jnp.ones((1, 1)) * 0.9,
+                    rotation=jnp.array([[1.0, 0, 0, 0]]),
+                    scaling=jnp.full((1, 3), 0.3),
+                    shs=jnp.ones((1, 1, 3)))
+    f = 1.2 * hw
+    K = np.array([[f, 0, hw / 2], [0, f, hw / 2], [0, 0, 1]], np.float32)
+    w2c = np.eye(4, dtype=np.float32)
+    w2c[2, 3] = 1.6
+    # view 0 sees the gaussian; view 1 looks away (translated far off)
+    w2c_away = w2c.copy()
+    w2c_away[0, 3] = 100.0
+    w2cs = jnp.asarray(np.stack([w2c, w2c_away]))
+    Ks = jnp.asarray(np.stack([K, K]))
+    out = rasterize_multiview(g, w2cs, Ks, height=hw, width=hw,
+                              use_rgb=True, config=CFG)
+    # view 0 renders something at the bottom; view 1 must stay empty
+    assert float(out["comp_mask"][0].max()) > 0.1
+    np.testing.assert_allclose(np.asarray(out["comp_mask"][1]), 0.0, atol=1e-6)
