@@ -89,6 +89,68 @@ class Gaussians:
             f.write(cols.tobytes())
 
 
+def from_ply(path: str) -> Gaussians:
+    """Import a standard 3DGS .ply (the inverse of ``Gaussians.to_ply``).
+
+    Accepts the attribute layout written by this module and by the reference
+    exporter (renderer_one_shot.py:136-154): float32 properties
+    x/y/z, f_dc_*, f_rest_*, opacity (pre-sigmoid), scale_* (log), rot_*.
+    Extra properties (e.g. nx/ny/nz normals) are ignored. Host-side.
+    """
+    with open(path, "rb") as f:
+        blob = f.read()
+    end = blob.index(b"end_header") + len(b"end_header")
+    # header lines are ascii; the binary payload starts after the newline
+    end = blob.index(b"\n", end) + 1
+    header = blob[:end].decode("ascii").splitlines()
+
+    n = None
+    names = []
+    fmt_ok = False
+    for line in header:
+        parts = line.strip().split()
+        if not parts:
+            continue
+        if parts[0] == "format":
+            fmt_ok = parts[1] == "binary_little_endian"
+        elif parts[0] == "element" and parts[1] == "vertex":
+            n = int(parts[2])
+        elif parts[0] == "property":
+            if parts[1] != "float":
+                raise ValueError(f"unsupported property type: {line!r}")
+            names.append(parts[2])
+    if not fmt_ok or n is None:
+        raise ValueError("expected binary_little_endian ply with vertex element")
+
+    cols = np.frombuffer(blob[end:], dtype="<f4",
+                         count=n * len(names)).reshape(n, len(names))
+    col = {name: cols[:, i] for i, name in enumerate(names)}
+
+    def group(prefix):
+        keys = sorted((k for k in names if k.startswith(prefix)),
+                      key=lambda k: int(k[len(prefix):]))
+        return np.stack([col[k] for k in keys], axis=1) if keys else None
+
+    xyz = np.stack([col["x"], col["y"], col["z"]], axis=1)
+    f_dc = group("f_dc_")
+    f_rest = group("f_rest_")
+    shs = f_dc.reshape(n, 1, 3)
+    if f_rest is not None and f_rest.shape[1]:
+        shs = np.concatenate([shs, f_rest.reshape(n, -1, 3)], axis=1)
+    opacity = 1.0 / (1.0 + np.exp(-col["opacity"]))
+    scaling = np.exp(group("scale_"))
+    rotation = group("rot_")
+    rotation = rotation / np.maximum(
+        np.linalg.norm(rotation, axis=1, keepdims=True), 1e-9)
+    return Gaussians(
+        xyz=jnp.asarray(xyz),
+        opacity=jnp.asarray(opacity[:, None]),
+        rotation=jnp.asarray(rotation),
+        scaling=jnp.asarray(scaling),
+        shs=jnp.asarray(shs),
+    )
+
+
 def concatenate(a: Gaussians, b: Gaussians) -> Gaussians:
     def _valid(g: Gaussians) -> jax.Array:
         if g.valid is not None:

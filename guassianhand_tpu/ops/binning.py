@@ -83,10 +83,8 @@ def static_sizes(n: int, height: int, width: int, cfg: BinningConfig):
     return num_tiles, pp, total_blocks
 
 
-@functools.partial(jax.jit, static_argnames=("height", "width", "cfg"))
-def bin_gaussians(
+def enumerate_tiles(
     mean2d: jax.Array,
-    depth: jax.Array,
     radius: jax.Array,
     visible: jax.Array,
     *,
@@ -94,15 +92,14 @@ def bin_gaussians(
     width: int,
     cfg: BinningConfig = BinningConfig(),
     y_band=None,
-) -> Binning:
+):
+    """Rect enumeration: (tile_flat (N*M,) int32 with sentinel num_tiles,
+    overflow_enum ()). Pure index computation, no gradients."""
     n = mean2d.shape[0]
     m = cfg.max_tiles_per_gaussian
-    g = cfg.block_size
     ntx, nty = grid_dims(height, width, cfg.tile_size)
-    num_tiles, pp, total_blocks = static_sizes(n, height, width, cfg)
-
+    num_tiles = ntx * nty
     mean2d = jax.lax.stop_gradient(mean2d)
-    depth = jax.lax.stop_gradient(depth)
 
     x0, x1, y0, y1 = tile_rect(mean2d, radius, ntx, nty, cfg.tile_size,
                                y_band=y_band)
@@ -128,8 +125,87 @@ def bin_gaussians(
     mm = jnp.arange(m, dtype=jnp.int32)
     valid = mm[None, :] < need_cap[:, None]
     tile_id = jnp.where(valid, ty * ntx + tx, num_tiles).astype(jnp.int32)
+    overflow_enum = jnp.sum(jnp.maximum(need - m, 0))
+    return tile_id.reshape(-1), overflow_enum
 
-    tile_flat = tile_id.reshape(-1)
+
+def slab_layout(tile_s, num_tiles: int, total_blocks: int,
+                cfg: BinningConfig):
+    """Per-tile ranges + per-block metadata from the tile-sorted key array.
+
+    Returns (starts (T+1,), counts (T+1,), block_off (T+1,), tile_of_block
+    (TB,), base_of_block (TB,), src_base (TB,), overflow_cap, overflow_budget).
+    src_base is each block's start position in the SORTED pair array (not
+    slab-aligned) — the composite kernels read it with dynamic-window DMAs.
+
+    Per-tile ranges come via searchsorted. Measured alternatives both lose on
+    TPU: scatter-based boundary marking costs ~ the full update count (XLA
+    scatter cost tracks updates, not unique targets), and histogram via
+    segment_sum serializes on duplicate indices.
+    """
+    g = cfg.block_size
+    tile_ar = jnp.arange(num_tiles + 1, dtype=jnp.int32)
+    # method='scan' = vectorized binary search (the default 'compare_all'
+    # materializes an O(N*T) comparison sweep)
+    starts = jnp.searchsorted(tile_s, tile_ar, side="left",
+                              method="scan").astype(jnp.int32)
+    ends = jnp.searchsorted(tile_s, tile_ar, side="right",
+                            method="scan").astype(jnp.int32)
+    raw_counts = ends - starts  # (T+1,), last entry = invalid pairs
+    cap = cfg.max_blocks_per_tile * g
+    counts = jnp.minimum(raw_counts, cap).at[num_tiles].set(0)
+    overflow_cap = jnp.sum(jnp.maximum(raw_counts[:num_tiles] - cap, 0))
+
+    # Slab layout: nb[t] = ceil(counts/g) blocks per tile (EMPTY tiles get
+    # no blocks), clamped to the static slab budget — tiles past the budget
+    # are dropped (counted).
+    nb = -(-counts[:num_tiles] // g)
+    block_end = jnp.cumsum(nb).astype(jnp.int32)  # (T,)
+    fits = block_end <= total_blocks
+    overflow_budget = jnp.sum(jnp.where(fits, 0, counts[:num_tiles]))
+    counts = counts.at[:num_tiles].set(jnp.where(fits, counts[:num_tiles], 0))
+    nb = -(-counts[:num_tiles] // g)
+    block_off = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(nb).astype(jnp.int32)]
+    )  # (T+1,)
+
+    # Per-block metadata (gathers only, TB-sized).
+    blk = jnp.arange(total_blocks, dtype=jnp.int32)
+    tile_of_block = (
+        jnp.searchsorted(block_off, blk, side="right").astype(jnp.int32) - 1
+    )
+    tile_of_block = jnp.minimum(tile_of_block, num_tiles)  # tail -> dummy
+    tob_c = jnp.clip(tile_of_block, 0, num_tiles - 1)
+    base_of_block = (blk - block_off[tob_c]) * g
+    base_of_block = jnp.where(tile_of_block >= num_tiles, 0, base_of_block)
+    src_base = starts[tob_c] + base_of_block          # (TB,)
+    src_base = jnp.where(tile_of_block >= num_tiles, 0, src_base)
+    return (starts, counts, block_off, tile_of_block, base_of_block,
+            src_base, overflow_cap, overflow_budget)
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "cfg"))
+def bin_gaussians(
+    mean2d: jax.Array,
+    depth: jax.Array,
+    radius: jax.Array,
+    visible: jax.Array,
+    *,
+    height: int,
+    width: int,
+    cfg: BinningConfig = BinningConfig(),
+    y_band=None,
+) -> Binning:
+    n = mean2d.shape[0]
+    m = cfg.max_tiles_per_gaussian
+    g = cfg.block_size
+    ntx, nty = grid_dims(height, width, cfg.tile_size)
+    num_tiles, pp, total_blocks = static_sizes(n, height, width, cfg)
+
+    depth = jax.lax.stop_gradient(depth)
+    tile_flat, overflow_enum = enumerate_tiles(
+        mean2d, radius, visible, height=height, width=width, cfg=cfg,
+        y_band=y_band)
     depth_flat = jnp.broadcast_to(depth[:, None], (n, m)).reshape(-1)
 
     # 2-key stable lexicographic sort over the full (N, M) enumeration grid.
@@ -145,53 +221,14 @@ def bin_gaussians(
     )
     cap_c = n * m
 
-    # Per-tile ranges via searchsorted. Measured alternatives both lose on
-    # TPU: scatter-based boundary marking costs ~ the full 786k update count
-    # (XLA scatter cost tracks updates, not unique targets), and histogram
-    # via segment_sum serializes on duplicate indices.
-    tile_ar = jnp.arange(num_tiles + 1, dtype=jnp.int32)
-    # method='scan' = vectorized binary search (the default 'compare_all'
-    # materializes an O(N*T) comparison sweep)
-    starts = jnp.searchsorted(tile_s, tile_ar, side="left",
-                              method="scan").astype(jnp.int32)
-    ends = jnp.searchsorted(tile_s, tile_ar, side="right",
-                            method="scan").astype(jnp.int32)
-    raw_counts = ends - starts  # (T+1,), last entry = invalid pairs
-    cap = cfg.max_blocks_per_tile * g
-    counts = jnp.minimum(raw_counts, cap).at[num_tiles].set(0)
-    overflow_enum = jnp.sum(jnp.maximum(need - m, 0))
-    overflow_cap = jnp.sum(jnp.maximum(raw_counts[:num_tiles] - cap, 0))
-
-    # Slab layout: nb[t] = ceil(counts/g) blocks per tile (EMPTY tiles get no
-    # blocks — the composite aliases a pre-initialized output so untouched
-    # tiles read as background), clamped to the static slab budget — tiles
-    # past the budget are dropped (counted).
-    nb = -(-counts[:num_tiles] // g)
-    block_end = jnp.cumsum(nb).astype(jnp.int32)  # (T,)
-    fits = block_end <= total_blocks
-    overflow_budget = jnp.sum(jnp.where(fits, 0, counts[:num_tiles]))
-    counts = counts.at[:num_tiles].set(jnp.where(fits, counts[:num_tiles], 0))
-    nb = -(-counts[:num_tiles] // g)
-    block_off = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(nb).astype(jnp.int32)]
-    )  # (T+1,)
-    pad_off = block_off * g
-
-    # Per-block metadata (gathers only).
-    blk = jnp.arange(total_blocks, dtype=jnp.int32)
-    tile_of_block = (
-        jnp.searchsorted(block_off, blk, side="right").astype(jnp.int32) - 1
-    )
-    tile_of_block = jnp.minimum(tile_of_block, num_tiles)  # tail -> dummy tile
-    tob_c = jnp.clip(tile_of_block, 0, num_tiles - 1)
-    base_of_block = (blk - block_off[tob_c]) * g
-    base_of_block = jnp.where(tile_of_block >= num_tiles, 0, base_of_block)
+    lay = slab_layout(tile_s, num_tiles, total_blocks, cfg)
+    (starts, counts, block_off, tile_of_block, base_of_block, src_base,
+     overflow_cap, overflow_budget) = lay
 
     # Slot -> sorted-pair mapping. All metadata is per-block (TB-sized
     # gathers, ~thousands of elements) broadcast over the block's G slots;
     # only ONE large gather remains (gidx_s[src], contiguous runs of G).
-    src_base = starts[tob_c] + base_of_block          # (TB,)
-    cnt_b = counts[tob_c]
+    cnt_b = counts[jnp.clip(tile_of_block, 0, num_tiles - 1)]
     jj = jnp.arange(g, dtype=jnp.int32)
     src = src_base[:, None] + jj[None, :]             # (TB, G)
     ok = ((tile_of_block < num_tiles)[:, None]

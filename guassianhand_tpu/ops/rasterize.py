@@ -40,6 +40,7 @@ class RasterizeConfig:
     block_size: int = 128
     max_tiles_per_gaussian: int = 16
     max_blocks_per_tile: int = 64
+    pairs_per_gaussian: float = 4.5  # slab capacity budget (average/gaussian)
     scale_modifier: float = 1.0
     znear: float = 0.01
     zfar: float = 1000.0
@@ -51,17 +52,45 @@ class RasterizeConfig:
             block_size=self.block_size,
             max_tiles_per_gaussian=self.max_tiles_per_gaussian,
             max_blocks_per_tile=self.max_blocks_per_tile,
+            pairs_per_gaussian=self.pairs_per_gaussian,
         )
 
 
-def _build_attr(mean2d, conic, color, opacity, pair_gidx):
-    """Gather per-Gaussian rows into the (16, PP) slab layout (sentinel col N)."""
-    rows = jnp.stack(
-        [mean2d[:, 0], mean2d[:, 1], conic[:, 0], conic[:, 1], conic[:, 2],
-         color[:, 0], color[:, 1], color[:, 2], opacity], axis=0
-    )  # (9, N)
-    rows = jnp.pad(rows, ((0, kern.ATTR_ROWS - 9), (0, 1)))  # (+sentinel col)
-    return rows[:, pair_gidx]  # (16, PP)
+def _sorted_attr_table(mean2d, conic, color, opacity, tile_flat, depth, m, g):
+    """Depth-sort the (N, M) pair enumeration WITH the attrs riding the sort.
+
+    Returns (tile_s (NM,), attr_sorted (16, NMpad)) where attr rows are
+    0:x 1:y 2:conicA 3:conicB 4:conicC 5:r 6:g 7:b 8:opacity 9:gaussian id
+    (an f32-exact integer), in (tile, depth)-sorted pair order, padded to a
+    block-aligned width + 2 blocks so the kernels' dynamic 2g-windows never
+    overrun.
+
+    Riding the 10 payload rows through the sort costs ~+1.3 ms at the 512^2
+    bench but replaces TWO 352k-index gathers (slab eidx + attr build,
+    ~5.5 ms) — XLA TPU gathers cost ~9 ns per index regardless of row width.
+    """
+    n = mean2d.shape[0]
+    assert n < (1 << 24), "gaussian ids must stay f32-exact"
+    nm = n * m
+
+    def bc(v):
+        return jnp.broadcast_to(v[:, None], (n, m)).reshape(nm)
+
+    depth_b = bc(jax.lax.stop_gradient(depth))
+    gidx_f = bc(jnp.arange(n, dtype=jnp.float32))
+    ops = jax.lax.sort(
+        (tile_flat, depth_b,
+         bc(mean2d[:, 0]), bc(mean2d[:, 1]),
+         bc(conic[:, 0]), bc(conic[:, 1]), bc(conic[:, 2]),
+         bc(color[:, 0]), bc(color[:, 1]), bc(color[:, 2]),
+         bc(opacity), gidx_f),
+        num_keys=2, is_stable=True)
+    tile_s = ops[0]
+    attr_sorted = jnp.stack(ops[2:], axis=0)  # (10, NM)
+    pad = (-nm) % g + 2 * g
+    attr_sorted = jnp.pad(attr_sorted,
+                          ((0, kern.ATTR_ROWS - 10), (0, pad)))
+    return tile_s, attr_sorted
 
 
 def _tiles_to_image(tiles, height, width, tile_size):
@@ -85,61 +114,77 @@ def _int_cotangent(x):
     return np.zeros(x.shape, dtype=jax.dtypes.float0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13, 14))
-def _composite(mean2d, conic, color, opacity, pair_eidx, tile_of_block,
-               base_of_block, counts, height, width, tile_size, block_size,
-               max_blocks_per_tile, interpret, enum_m):
-    """pair_eidx: (PP,) enum indices (gaussian * enum_m + slot), sentinel
-    N * enum_m for padding; real entries unique across the slab (see
-    binning.Binning.pair_eidx). enum_m == 1 means indices ARE gaussian ids."""
-    out, _ = _composite_fwd(mean2d, conic, color, opacity, pair_eidx,
-                            tile_of_block, base_of_block, counts, height,
-                            width, tile_size, block_size, max_blocks_per_tile,
-                            interpret, enum_m)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _composite(mean2d, conic, color, opacity, tile_flat, depth,
+               height, width, cfg):
+    """Differentiable tile composite over a pre-enumerated pair list.
+
+    mean2d (N,2), conic (N,3), color (N,3), opacity (N,) are the
+    differentiable per-gaussian screen attrs; tile_flat (N*M,) int32 is the
+    rect enumeration from binning.enumerate_tiles (sentinel num_tiles);
+    depth (N,). cfg: RasterizeConfig (static). M == cfg.max_tiles_per_gaussian.
+
+    Internally: attrs ride a (tile, depth) sort -> slab layout metadata ->
+    Pallas forward reading the sorted table via dynamic-window DMAs; the
+    hand-written backward emits per-pair grads + gaussian ids, reduced by one
+    segment_sum. Returns (rgb, final_t, n_pairs, overflow_capbudget); the
+    last two are diagnostics (zero gradients).
+    """
+    out, _ = _composite_fwd(mean2d, conic, color, opacity, tile_flat, depth,
+                            height, width, cfg)
     return out
 
 
-def _block_offsets(counts, num_tiles, block_size):
-    nb = -(-counts[:num_tiles] // block_size)
-    return jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(nb).astype(jnp.int32)])
-
-
-def _composite_fwd(mean2d, conic, color, opacity, pair_eidx, tile_of_block,
-                   base_of_block, counts, height, width, tile_size,
-                   block_size, max_blocks_per_tile, interpret, enum_m):
-    ntx, nty = binning_lib.grid_dims(height, width, tile_size)
+def _composite_fwd(mean2d, conic, color, opacity, tile_flat, depth,
+                   height, width, cfg):
+    n = mean2d.shape[0]
+    m = cfg.max_tiles_per_gaussian
+    g = cfg.block_size
+    ts = cfg.tile_size
+    bcfg = cfg.binning()
+    ntx, nty = binning_lib.grid_dims(height, width, ts)
     num_tiles = ntx * nty
-    pair_gidx = pair_eidx // enum_m  # sentinel N*M maps to the sentinel col N
-    attr = _build_attr(mean2d, conic, color, opacity, pair_gidx)
-    block_off = _block_offsets(counts, num_tiles, block_size)
+    _, _, total_blocks = binning_lib.static_sizes(n, height, width, bcfg)
+
+    tile_s, attr_sorted = _sorted_attr_table(
+        mean2d, conic, color, opacity, tile_flat, depth, m, g)
+    (_, counts, block_off, tile_of_block, base_of_block, src_base,
+     overflow_cap, overflow_budget) = binning_lib.slab_layout(
+        tile_s, num_tiles, total_blocks, bcfg)
+
     tiles, tchk = kern.composite_forward(
-        attr, block_off, counts,
-        num_tiles=num_tiles, ntx=ntx, tile_size=tile_size,
-        block_size=block_size, max_blocks_per_tile=max_blocks_per_tile,
-        interpret=interpret)  # (T, 8, P), (TBk, P)
-    rgb = _tiles_to_image(tiles[:, 0:3], height, width, tile_size)
-    final_t = _tiles_to_image(tiles[:, 3:4], height, width, tile_size)[..., 0]
-    residuals = (mean2d, conic, color, opacity, attr, tchk, pair_eidx,
-                 tile_of_block, base_of_block, block_off, counts, tiles[:, 3])
-    return (rgb, final_t), residuals
+        attr_sorted, block_off, counts, src_base, total_blocks,
+        num_tiles=num_tiles, ntx=ntx, tile_size=ts,
+        block_size=g, max_blocks_per_tile=cfg.max_blocks_per_tile,
+        interpret=cfg.interpret)  # (T, 8, P), (TBk, P)
+    rgb = _tiles_to_image(tiles[:, 0:3], height, width, ts)
+    final_t = _tiles_to_image(tiles[:, 3:4], height, width, ts)[..., 0]
+    n_pairs = jnp.sum(counts[:num_tiles])
+    overflow = (overflow_cap + overflow_budget).astype(jnp.int32)
+    residuals = (attr_sorted, tchk, block_off, counts, tile_of_block,
+                 base_of_block, src_base, tiles[:, 3], opacity, tile_flat,
+                 depth)
+    return (rgb, final_t, n_pairs, overflow), residuals
 
 
-def _composite_bwd(height, width, tile_size, block_size, max_blocks_per_tile,
-                   interpret, enum_m, residuals, cotangents):
-    (mean2d, conic, color, opacity, attr, tchk, pair_eidx, tile_of_block,
-     base_of_block, block_off, counts, tfinal_tiles) = residuals
-    g_rgb, g_t = cotangents
-    ntx, nty = binning_lib.grid_dims(height, width, tile_size)
+def _composite_bwd(height, width, cfg, residuals, cotangents):
+    (attr_sorted, tchk, block_off, counts, tile_of_block, base_of_block,
+     src_base, tfinal_tiles, opacity_tok, tile_flat, depth_tok) = residuals
+    g_rgb, g_t, _g_npairs, _g_overflow = cotangents
+    ts = cfg.tile_size
+    g = cfg.block_size
+    ntx, nty = binning_lib.grid_dims(height, width, ts)
     num_tiles = ntx * nty
-    p = tile_size * tile_size
+    p = ts * ts
+    n = opacity_tok.shape[0]
+    total_blocks = tile_of_block.shape[0]
 
     # Pad cotangent images to the tile-aligned canvas.
-    ph, pw = nty * tile_size, ntx * tile_size
+    ph, pw = nty * ts, ntx * ts
     g_rgb_pad = jnp.zeros((ph, pw, 3), jnp.float32).at[:height, :width].set(g_rgb)
     g_t_pad = jnp.zeros((ph, pw, 1), jnp.float32).at[:height, :width, 0].set(g_t)
-    g_rgb_tiles = _image_to_tiles(g_rgb_pad, tile_size)  # (T, 3, P)
-    g_t_tiles = _image_to_tiles(g_t_pad, tile_size)[:, 0]  # (T, P)
+    g_rgb_tiles = _image_to_tiles(g_rgb_pad, ts)  # (T, 3, P)
+    g_t_tiles = _image_to_tiles(g_t_pad, ts)[:, 0]  # (T, P)
 
     gtiles = jnp.zeros((num_tiles, 8, p), jnp.float32)
     gtiles = gtiles.at[:, 0:3].set(g_rgb_tiles)
@@ -147,20 +192,26 @@ def _composite_bwd(height, width, tile_size, block_size, max_blocks_per_tile,
     gtiles = gtiles.at[:, 4].set(tfinal_tiles)
 
     pair_grads = kern.composite_backward(
-        attr, tchk, gtiles, block_off, counts, tile_of_block, base_of_block,
-        num_tiles=num_tiles, ntx=ntx, tile_size=tile_size,
-        block_size=block_size, max_blocks_per_tile=max_blocks_per_tile,
-        interpret=interpret)  # (16, PP)
+        attr_sorted, tchk, gtiles, block_off, counts, tile_of_block,
+        base_of_block, src_base, total_blocks,
+        num_tiles=num_tiles, ntx=ntx, tile_size=ts, block_size=g,
+        max_blocks_per_tile=cfg.max_blocks_per_tile,
+        interpret=cfg.interpret)  # (16, PP) slab order; row 9 = gaussian id
 
-    # Per-gaussian reduction. (A unique-index scatter into the (N*M, 9) enum
-    # grid + dense reduce was measured SLOWER than this segment_sum — XLA TPU
-    # scatter costs ~10 ns/element regardless of unique_indices.)
-    n = mean2d.shape[0]
-    pair_gidx = jnp.minimum(pair_eidx // enum_m, n)
-    seg = jax.ops.segment_sum(pair_grads.T, pair_gidx, num_segments=n + 1)[:n]
+    # Per-gaussian reduction: the kernel passes each pair's gaussian id out
+    # with the gradients (row 9), so no index gather is needed. Columns of
+    # blocks the kernel never walked (>= c_total) are UNINITIALIZED — route
+    # them to the trash segment n. (A unique-index scatter into the enum grid
+    # was measured SLOWER than segment_sum — TPU scatter ~10 ns/element.)
+    c_total = block_off[num_tiles]
+    pp = total_blocks * g
+    blk_of_col = jnp.arange(pp, dtype=jnp.int32) // g
+    live = blk_of_col < c_total
+    gidx = jnp.where(live, pair_grads[9].astype(jnp.int32), n)
+    gidx = jnp.clip(gidx, 0, n)
+    seg = jax.ops.segment_sum(pair_grads[:9].T, gidx, num_segments=n + 1)[:n]
     return (seg[:, 0:2], seg[:, 2:5], seg[:, 5:8], seg[:, 8],
-            _int_cotangent(pair_eidx), _int_cotangent(tile_of_block),
-            _int_cotangent(base_of_block), _int_cotangent(counts))
+            _int_cotangent(tile_flat), jnp.zeros_like(depth_tok))
 
 
 _composite.defvjp(_composite_fwd, _composite_bwd)
@@ -197,16 +248,13 @@ def rasterize(
             jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-9)
         color = sh_lib.eval_sh(sh_degree, gaussians.shs, dirs)
 
-    binning = binning_lib.bin_gaussians(
-        proj.mean2d, proj.depth, proj.radius, proj.visible,
+    tile_flat, overflow_enum = binning_lib.enumerate_tiles(
+        proj.mean2d, proj.radius, proj.visible,
         height=height, width=width, cfg=config.binning())
 
-    rgb, final_t = _composite(
-        proj.mean2d, proj.conic, color, opacity,
-        binning.pair_eidx, binning.tile_of_block, binning.base_of_block,
-        binning.counts, height, width, config.tile_size, config.block_size,
-        config.max_blocks_per_tile, config.interpret,
-        config.max_tiles_per_gaussian)
+    rgb, final_t, n_pairs, overflow = _composite(
+        proj.mean2d, proj.conic, color, opacity, tile_flat, proj.depth,
+        height, width, config)
 
     rgb = rgb + final_t[..., None] * background[None, None, :]
     return {
@@ -214,8 +262,8 @@ def rasterize(
         "comp_mask": 1.0 - final_t,
         "final_t": final_t,
         "radii": proj.radius,
-        "n_pairs": binning.n_pairs,
-        "overflow": binning.overflow,
+        "n_pairs": n_pairs,
+        "overflow": (overflow_enum + overflow).astype(jnp.int32),
     }
 
 
@@ -291,17 +339,14 @@ def rasterize_multiview(
     opacity_f = jnp.broadcast_to(opacity[None, :], (v, n)).reshape(v * n)
 
     band_lo = jnp.repeat(jnp.arange(v, dtype=jnp.int32) * nty_band, n)
-    binning = binning_lib.bin_gaussians(
-        mean2d, depth, radius, visible,
+    tile_flat, overflow_enum = binning_lib.enumerate_tiles(
+        mean2d, radius, visible,
         height=v * band_h, width=width, cfg=config.binning(),
         y_band=(band_lo, band_lo + nty_band))
 
-    rgb, final_t = _composite(
-        mean2d, conic, color, opacity_f,
-        binning.pair_eidx, binning.tile_of_block, binning.base_of_block,
-        binning.counts, v * band_h, width, config.tile_size,
-        config.block_size, config.max_blocks_per_tile, config.interpret,
-        config.max_tiles_per_gaussian)
+    rgb, final_t, n_pairs, overflow = _composite(
+        mean2d, conic, color, opacity_f, tile_flat, depth,
+        v * band_h, width, config)
 
     rgb = rgb + final_t[..., None] * background[None, None, :]
     rgb = rgb.reshape(v, band_h, width, 3)[:, :height]
@@ -310,6 +355,6 @@ def rasterize_multiview(
         "comp_rgb": rgb,
         "comp_mask": 1.0 - final_t,
         "final_t": final_t,
-        "n_pairs": binning.n_pairs,
-        "overflow": binning.overflow,
+        "n_pairs": n_pairs,
+        "overflow": (overflow_enum + overflow).astype(jnp.int32),
     }

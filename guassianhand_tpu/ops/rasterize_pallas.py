@@ -138,7 +138,7 @@ def _forward_block(attr, px, py, base, cnt, tc, g: int):
     return contrib, t_new
 
 
-def _fwd_kernel(boff_ref, cnt_ref, attr_hbm, out_hbm, tchk_hbm,
+def _fwd_kernel(boff_ref, cnt_ref, srcb_ref, attr_hbm, out_hbm, tchk_hbm,
                 abuf, asem, obuf, osem, kbuf, ksem,
                 *, ntx: int, tile_size: int, g: int, num_tiles: int,
                 num_tiles_pad: int):
@@ -146,9 +146,20 @@ def _fwd_kernel(boff_ref, cnt_ref, attr_hbm, out_hbm, tchk_hbm,
     c_total = boff_ref[num_tiles]
 
     def dma_attr(slot, blk):
+        # Sorted-direct read: block blk's pairs live at srcb[blk] in the
+        # depth-sorted pair table (NOT g-aligned). Fetch the g-aligned 2g
+        # window containing them; _attr_window rolls the in-window offset
+        # away. This replaces the 352k-element slab gather + attr gather
+        # (measured ~5.5 ms at the 512^2 bench — XLA gathers cost ~9 ns per
+        # index regardless of row width).
+        start = (srcb_ref[blk] // g) * g
         return pltpu.make_async_copy(
-            attr_hbm.at[:, pl.ds(pl.multiple_of(blk * g, g), g)],
+            attr_hbm.at[:, pl.ds(pl.multiple_of(start, g), 2 * g)],
             abuf.at[slot], asem.at[slot])
+
+    def attr_window(cur, blk):
+        off = srcb_ref[blk] % g
+        return pltpu.roll(abuf[cur], -off, axis=1)[:, :g]
 
     def dma_out(slot, chunk):
         return pltpu.make_async_copy(
@@ -202,8 +213,8 @@ def _fwd_kernel(boff_ref, cnt_ref, attr_hbm, out_hbm, tchk_hbm,
             # jax.lax.cond(max(tc) >= T_EPS, ...) was measured at +5.6 ms at
             # the 512^2 bench — Mosaic branches around vector code spill the
             # loop carries and pay for both branches; do NOT reintroduce it.
-            contrib, t_new = _forward_block(abuf[cur], px, py, b * g, cnt,
-                                            tc, g)
+            contrib, t_new = _forward_block(attr_window(cur, blk), px, py,
+                                            b * g, cnt, tc, g)
             return t_new, acc + contrib
 
         tc0 = jnp.ones((p, 1), jnp.float32)
@@ -255,17 +266,19 @@ def _fwd_kernel(boff_ref, cnt_ref, attr_hbm, out_hbm, tchk_hbm,
         dma_out((n_oc - 2) % 2, n_oc - 2).wait()
 
 
-def composite_forward(attr, block_off, counts,
+def composite_forward(attr_sorted, block_off, counts, src_base, total_blocks,
                       *, num_tiles: int, ntx: int, tile_size: int,
                       block_size: int, max_blocks_per_tile: int,
                       interpret: bool = False):
-    """attr: (16, PP) fp32; block_off: (T+1,) block offsets (units of blocks);
-    counts: (T+1,). Returns (out (T, 8, P), tchk (TBk, P)): out rows 0-2 color,
+    """attr_sorted: (16, NMpad) fp32 pair attrs in depth-sorted order (NMpad
+    g-aligned with >= 2g tail padding); block_off: (T+1,) block offsets (units
+    of blocks); counts: (T+1,); src_base: (TB,) per-block start column into
+    attr_sorted. Returns (out (T, 8, P), tchk (TBk, P)): out rows 0-2 color,
     3 final T; tchk holds per-block transmittance checkpoints for the backward.
     """
     p = tile_size * tile_size
     g = block_size
-    tb = attr.shape[1] // g
+    tb = total_blocks
     tbk = _cdiv(tb, K_CHUNK) * K_CHUNK
     t_pad = _cdiv(num_tiles, OUT_CHUNK) * OUT_CHUNK
 
@@ -277,17 +290,17 @@ def composite_forward(attr, block_off, counts,
     kernel = functools.partial(_fwd_kernel, ntx=ntx, tile_size=tile_size,
                                g=g, num_tiles=num_tiles, num_tiles_pad=t_pad)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(1,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # attr stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # attr stays in HBM
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # out, chunk-DMA'd
-            pl.BlockSpec(memory_space=pltpu.ANY),  # tchk
+            pl.BlockSpec(memory_space=pl.ANY),  # out, chunk-DMA'd
+            pl.BlockSpec(memory_space=pl.ANY),  # tchk
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, ATTR_ROWS, g), jnp.float32),
+            pltpu.VMEM((2, ATTR_ROWS, 2 * g), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((2, OUT_CHUNK, 8, p), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -304,11 +317,11 @@ def composite_forward(attr, block_off, counts,
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(boff_pad, cnt_pad, attr)
+    )(boff_pad, cnt_pad, src_base, attr_sorted)
     return out[:num_tiles], tchk
 
 
-def _bwd_kernel(boff_ref, cnt_ref, tob_ref, bob_ref,
+def _bwd_kernel(boff_ref, cnt_ref, tob_ref, bob_ref, srcb_ref,
                 attr_hbm, tchk_hbm, gtile_hbm, grad_hbm,
                 abuf, asem, kbuf, ksem, gb, gsem, obuf, osem,
                 *, ntx: int, tile_size: int, g: int, num_tiles: int):
@@ -316,8 +329,10 @@ def _bwd_kernel(boff_ref, cnt_ref, tob_ref, bob_ref,
     c_total = boff_ref[num_tiles]
 
     def dma_attr(slot, blk):
+        # Sorted-direct window read (see _fwd_kernel.dma_attr).
+        start = (srcb_ref[blk] // g) * g
         return pltpu.make_async_copy(
-            attr_hbm.at[:, pl.ds(pl.multiple_of(blk * g, g), g)],
+            attr_hbm.at[:, pl.ds(pl.multiple_of(start, g), 2 * g)],
             abuf.at[slot], asem.at[slot])
 
     def dma_k(slot, kc):
@@ -381,7 +396,7 @@ def _bwd_kernel(boff_ref, cnt_ref, tob_ref, bob_ref,
             dma_attr((b - 1) % 2, b - 1).start()
 
         dma_attr(cur, b).wait()
-        attr = abuf[cur]
+        attr = pltpu.roll(abuf[cur], -(srcb_ref[b] % g), axis=1)[:, :g]
         gt = gb[gslot][0]  # (8, P): 0-2 grad color, 3 gT_total, 4 T_final
         r0 = (gt[3:4, :] * gt[4:5, :]).reshape(p, 1)
         r_in = jnp.where(new_tile, r0, r_carry)
@@ -449,7 +464,11 @@ def _bwd_kernel(boff_ref, cnt_ref, tob_ref, bob_ref,
         obuf[oslot, 4:5, :] = dc
         obuf[oslot, 5:8, :] = dcol
         obuf[oslot, 8:9, :] = dopa
-        obuf[oslot, 9:, :] = jnp.zeros_like(obuf[oslot, 9:, :])
+        # Row 9 passes the pair's gaussian id (f32-exact integer, ridden
+        # through the sort as attr row 9) out with the gradients, so the
+        # per-gaussian segment reduction needs NO separate index gather.
+        obuf[oslot, 9:10, :] = attr[9:10, :]
+        obuf[oslot, 10:, :] = jnp.zeros_like(obuf[oslot, 10:, :])
         dma_out(oslot, b).start()
 
         return r_in + we_sum, gslot
@@ -467,36 +486,39 @@ def _bwd_kernel(boff_ref, cnt_ref, tob_ref, bob_ref,
         dma_out(c_total % 2, 1).wait()  # started at k = c_total-2
 
 
-def composite_backward(attr, tchk, gtiles, block_off, counts, tile_of_block,
-                       base_of_block,
+def composite_backward(attr_sorted, tchk, gtiles, block_off, counts,
+                       tile_of_block, base_of_block, src_base, total_blocks,
                        *, num_tiles: int, ntx: int, tile_size: int,
                        block_size: int, max_blocks_per_tile: int,
                        interpret: bool = False):
     """Backward composite: single descending sweep over the flat block list.
 
-    attr:   (16, PP) as in forward.
+    attr_sorted: (16, NMpad) as in forward (row 9 = gaussian id as f32).
     tchk:   (TBk, P) per-block transmittance checkpoints from the forward.
     gtiles: (T, 8, P): rows 0-2 dL/dcolor, 3 total dL/dT_final, 4 T_final.
-    Returns per-pair gradients (16, PP).
+    Returns per-pair gradients (16, PP) in SLAB block order (block b's pairs
+    at columns [b*g, (b+1)*g)); row 9 carries each pair's gaussian id.
+    Columns of blocks >= block_off[num_tiles] are never written — mask with
+    c_total before reducing.
     """
     p = tile_size * tile_size
     g = block_size
-    pp = attr.shape[1]
+    pp = total_blocks * g
     boff_pad = jnp.pad(block_off, (0, max(0, num_tiles + 1 - block_off.shape[0])),
                        mode="edge")
     kernel = functools.partial(_bwd_kernel, ntx=ntx, tile_size=tile_size,
                                g=g, num_tiles=num_tiles)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(1,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # attr in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),  # tchk in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),  # gtiles in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # attr in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # tchk in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # gtiles in HBM
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),  # grads in HBM
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),  # grads in HBM
         scratch_shapes=[
-            pltpu.VMEM((2, ATTR_ROWS, g), jnp.float32),
+            pltpu.VMEM((2, ATTR_ROWS, 2 * g), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((2, K_CHUNK, p), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -512,5 +534,6 @@ def composite_backward(attr, tchk, gtiles, block_off, counts, tile_of_block,
         out_shape=jax.ShapeDtypeStruct((GRAD_ROWS, pp), jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(boff_pad, counts, tile_of_block, base_of_block, attr, tchk, gtiles)
+    )(boff_pad, counts, tile_of_block, base_of_block, src_base, attr_sorted,
+      tchk, gtiles)
     return grads

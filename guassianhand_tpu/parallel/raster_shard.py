@@ -29,6 +29,7 @@ row-sharded loss); overflow counts pairs dropped by the exchange capacity.
 """
 from __future__ import annotations
 
+import dataclasses
 from typing import Optional
 
 import jax
@@ -178,47 +179,17 @@ def sharded_rasterize(gaussians: Gaussians, camera: Camera, *, height: int,
                              recv["b"].reshape(np_recv)], axis=1)
         op_r = recv["op"].reshape(np_recv)
 
-        # local (tile, depth) sort + slab over this band's tiles
+        # band-local composite: received pairs feed the standard sorted-ride
+        # _composite as virtual gaussians with M == 1 (each pair IS its own
+        # enumeration slot); the slab budget is exactly np_recv pairs.
         band_t0 = d * band_rows * ntx
         loc_tile = jnp.where(rlive, rtile - band_t0, num_tiles
                              ).astype(jnp.int32)
-        tile_s, _, pidx_s = jax.lax.sort(
-            (loc_tile, rdepth, jnp.arange(np_recv, dtype=jnp.int32)),
-            num_keys=2, is_stable=True)
-        tile_ar = jnp.arange(num_tiles + 1, dtype=jnp.int32)
-        starts = jnp.searchsorted(tile_s, tile_ar, side="left",
-                                  method="scan").astype(jnp.int32)
-        ends = jnp.searchsorted(tile_s, tile_ar, side="right",
-                                method="scan").astype(jnp.int32)
-        counts = jnp.minimum(ends - starts, config.max_blocks_per_tile * g)
-        counts = counts.at[num_tiles].set(0)
-        nb = -(-counts[:num_tiles] // g)
-        block_end = jnp.cumsum(nb).astype(jnp.int32)
-        fits = block_end <= total_blocks
-        counts = counts.at[:num_tiles].set(
-            jnp.where(fits, counts[:num_tiles], 0))
-        nb = -(-counts[:num_tiles] // g)
-        block_off = jnp.concatenate(
-            [jnp.zeros((1,), jnp.int32), jnp.cumsum(nb).astype(jnp.int32)])
-
-        blk = jnp.arange(total_blocks, dtype=jnp.int32)
-        tob = jnp.searchsorted(block_off, blk, side="right"
-                               ).astype(jnp.int32) - 1
-        tob = jnp.minimum(tob, num_tiles)
-        tob_c = jnp.clip(tob, 0, num_tiles - 1)
-        bob = (blk - block_off[tob_c]) * g
-        bob = jnp.where(tob >= num_tiles, 0, bob)
-        jj = jnp.arange(g, dtype=jnp.int32)
-        src = starts[tob_c][:, None] + bob[:, None] + jj[None, :]
-        ok = ((tob < num_tiles)[:, None]
-              & (bob[:, None] + jj[None, :] < counts[tob_c][:, None]))
-        src = jnp.clip(src, 0, np_recv - 1)
-        pair_gidx = jnp.where(ok, pidx_s[src], np_recv).reshape(-1)
-
-        rgb, final_t = raster_lib._composite(
-            mean2d_r, conic_r, color_r, op_r, pair_gidx, tob, bob, counts,
-            band_h, width, ts, g, config.max_blocks_per_tile,
-            config.interpret, 1)  # enum_m=1: pair ids ARE the virtual ids
+        cfg_band = dataclasses.replace(config, max_tiles_per_gaussian=1,
+                                       pairs_per_gaussian=1.0)
+        rgb, final_t, _n_pairs, _ov = raster_lib._composite(
+            mean2d_r, conic_r, color_r, op_r, loc_tile, rdepth,
+            band_h, width, cfg_band)
         rgb = rgb + final_t[..., None] * background[None, None, :]
         ov = (dropped + jnp.sum(jnp.maximum(need - m, 0))).astype(jnp.int32)
         return rgb, 1.0 - final_t, final_t, ov[None]

@@ -36,6 +36,9 @@ class FitConfig:
     milestones: Tuple[int, ...] = (2, 5, 10, 20, 35, 50, 75)
     gamma: float = 0.5
     weights: LossWeights = LossWeights()
+    # Trainer(accumulate_grad_batches=...) equivalent (infer_one_shot.py:636):
+    # average grads over this many micro-batches before each optimizer update.
+    accumulate_grad_batches: int = 1
 
 
 def lr_schedule(cfg: FitConfig) -> optax.Schedule:
@@ -60,9 +63,14 @@ def make_optimizer(params, cfg: FitConfig) -> optax.GradientTransformation:
     mask = trainable_mask(params)
     labels = jax.tree_util.tree_map(
         lambda m: "train" if m else "freeze", mask)
-    return optax.multi_transform(
+    tx = optax.multi_transform(
         {"train": optax.adam(lr_schedule(cfg)), "freeze": optax.set_to_zero()},
         labels)
+    if cfg.accumulate_grad_batches > 1:
+        # Trainer(accumulate_grad_batches=...) equivalent
+        # (infer_one_shot.py:636): updates apply every k-th micro-batch.
+        tx = optax.MultiSteps(tx, cfg.accumulate_grad_batches)
+    return tx
 
 
 def make_fit_step(model_apply: Callable, vgg_loss_fn: Optional[Callable],

@@ -53,6 +53,26 @@ def save_gif(path: str, frames: Sequence, fps: int = 20) -> str:
     return path
 
 
+def save_video(path: str, frames: Sequence, fps: int = 20) -> str:
+    """mp4 export via imageio-ffmpeg when available; GIF fallback otherwise.
+
+    The reference saves frame sequences / videos through SaverMixin
+    (tgs/utils/saving.py:266-315); this is the TPU repo's equivalent with a
+    dependency-gated encoder.
+    """
+    try:
+        import imageio.v2 as imageio  # needs the ffmpeg plugin for mp4
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with imageio.get_writer(path, fps=fps) as w:
+            for f in frames:
+                w.append_data(_to_uint8(f))
+        return path
+    except Exception:
+        alt = os.path.splitext(path)[0] + ".gif"
+        return save_gif(alt, frames, fps=fps)
+
+
 def save_video_frames(dirname: str, frames: Iterable, prefix: str = "") -> list:
     paths = []
     for i, f in enumerate(frames):

@@ -20,28 +20,33 @@ def build_inputs():
     from tests.utils import make_camera, make_gaussians
     from guassianhand_tpu.ops.projection import project_gaussians
     from guassianhand_tpu.ops import binning as binning_lib
-    from guassianhand_tpu.ops.rasterize import (RasterizeConfig, _build_attr,
-                                                _block_offsets)
+    from guassianhand_tpu.ops.rasterize import (RasterizeConfig,
+                                                _sorted_attr_table)
 
     cfg = RasterizeConfig(max_tiles_per_gaussian=16)
+    bcfg = cfg.binning()
     cam = make_camera(HW, HW)
     g = make_gaussians(N, seed=3)
     proj = project_gaussians(g.xyz, g.scaling, g.rotation, cam)
-    b = binning_lib.bin_gaussians(proj.mean2d, proj.depth, proj.radius,
-                                  proj.visible, height=HW, width=HW,
-                                  cfg=cfg.binning())
     ntx, nty = binning_lib.grid_dims(HW, HW, cfg.tile_size)
     num_tiles = ntx * nty
+    _, _, total_blocks = binning_lib.static_sizes(N, HW, HW, bcfg)
+    tile_flat, _ov = binning_lib.enumerate_tiles(
+        proj.mean2d, proj.radius, proj.visible, height=HW, width=HW, cfg=bcfg)
     color = g.shs[:, 0, :]
     opacity = g.effective_opacity()[:, 0]
-    attr = _build_attr(proj.mean2d, proj.conic, color, opacity, b.pair_gidx)
-    block_off = _block_offsets(b.counts, num_tiles, cfg.block_size)
+    tile_s, attr_sorted = _sorted_attr_table(
+        proj.mean2d, proj.conic, color, opacity, tile_flat, proj.depth,
+        cfg.max_tiles_per_gaussian, cfg.block_size)
+    (_, counts, block_off, tob, bob, src_base, _oc, _ob) = \
+        binning_lib.slab_layout(tile_s, num_tiles, total_blocks, bcfg)
     rng = np.random.RandomState(0)
     p = cfg.tile_size * cfg.tile_size
     gtiles = rng.normal(size=(num_tiles, 8, p)).astype(np.float32)
-    return dict(attr=np.asarray(attr), block_off=np.asarray(block_off),
-                counts=np.asarray(b.counts), tob=np.asarray(b.tile_of_block),
-                bob=np.asarray(b.base_of_block), gtiles=gtiles,
+    return dict(attr=np.asarray(attr_sorted), block_off=np.asarray(block_off),
+                counts=np.asarray(counts), tob=np.asarray(tob),
+                bob=np.asarray(bob), src_base=np.asarray(src_base),
+                total_blocks=total_blocks, gtiles=gtiles,
                 num_tiles=num_tiles, ntx=ntx, tile_size=cfg.tile_size,
                 block_size=cfg.block_size,
                 max_blocks_per_tile=cfg.max_blocks_per_tile)
@@ -53,6 +58,7 @@ def run(inp, interpret):
     from guassianhand_tpu.ops import rasterize_pallas as kern
 
     num_tiles = int(inp["num_tiles"])
+    total_blocks = int(inp["total_blocks"])
     kw = dict(num_tiles=num_tiles, ntx=int(inp["ntx"]),
               tile_size=int(inp["tile_size"]),
               block_size=int(inp["block_size"]),
@@ -60,13 +66,15 @@ def run(inp, interpret):
               interpret=interpret)
     tiles, tchk = kern.composite_forward(
         jnp.asarray(inp["attr"]), jnp.asarray(inp["block_off"]),
-        jnp.asarray(inp["counts"]), **kw)
+        jnp.asarray(inp["counts"]), jnp.asarray(inp["src_base"]),
+        total_blocks, **kw)
     gt = np.array(inp["gtiles"])
     gt[:, 4, :] = np.asarray(tiles[:num_tiles, 3])  # row 4 must be T_final
     grads = kern.composite_backward(
         jnp.asarray(inp["attr"]), tchk, jnp.asarray(gt),
         jnp.asarray(inp["block_off"]), jnp.asarray(inp["counts"]),
-        jnp.asarray(inp["tob"]), jnp.asarray(inp["bob"]), **kw)
+        jnp.asarray(inp["tob"]), jnp.asarray(inp["bob"]),
+        jnp.asarray(inp["src_base"]), total_blocks, **kw)
     return np.asarray(tiles), np.asarray(tchk), np.asarray(grads)
 
 
@@ -77,7 +85,7 @@ def valid_masks(inp):
     bo = inp["block_off"]
     counts = inp["counts"]
     num_tiles = int(inp["num_tiles"])
-    pp = inp["attr"].shape[1]
+    pp = int(inp["total_blocks"]) * g
     pair_mask = np.zeros(pp, bool)
     nblocks = 0
     for t in range(num_tiles):

@@ -2,7 +2,7 @@
 import numpy as np
 import jax.numpy as jnp
 
-from guassianhand_tpu.core.gaussians import Gaussians
+from guassianhand_tpu.core.gaussians import Gaussians, from_ply
 
 
 def _read_ply(path):
@@ -47,3 +47,32 @@ def test_ply_roundtrip(tmp_path):
     si = props.index("scale_0")
     np.testing.assert_allclose(np.exp(data[:, si:si + 3]),
                                np.asarray(gs.scaling)[keep], rtol=1e-5)
+
+
+def test_ply_import_roundtrip(tmp_path):
+    """export -> from_ply recovers the (valid) gaussians bit-close."""
+    rng = np.random.RandomState(1)
+    n = 23
+    rot = rng.normal(size=(n, 4)).astype(np.float32)
+    rot /= np.linalg.norm(rot, axis=1, keepdims=True)
+    gs = Gaussians(
+        xyz=jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32)),
+        opacity=jnp.asarray(rng.uniform(0.1, 0.9, (n, 1)).astype(np.float32)),
+        rotation=jnp.asarray(rot),
+        scaling=jnp.asarray(rng.uniform(0.01, 0.1, (n, 3)).astype(np.float32)),
+        shs=jnp.asarray(rng.normal(size=(n, 16, 3)).astype(np.float32)),
+    )
+    p = str(tmp_path / "g.ply")
+    gs.to_ply(p)
+    back = from_ply(p)
+    assert back.n == n and back.shs.shape == (n, 16, 3)
+    np.testing.assert_allclose(np.asarray(back.xyz), np.asarray(gs.xyz),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(back.opacity),
+                               np.asarray(gs.opacity), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(back.scaling),
+                               np.asarray(gs.scaling), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(back.rotation),
+                               np.asarray(gs.rotation), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(back.shs), np.asarray(gs.shs),
+                               atol=1e-6)

@@ -111,3 +111,39 @@ def test_checkpoint_roundtrip_and_partial():
         np.testing.assert_array_equal(np.asarray(part["extra"]),
                                       np.full((4,), 9.0))
         assert ck.latest_checkpoint(d) is not None
+
+
+def test_accumulate_grad_batches():
+    """MultiSteps wrapping: params move only every k-th micro-batch, by the
+    averaged gradient (Trainer(accumulate_grad_batches) equivalent,
+    ref infer_one_shot.py:636)."""
+    import optax
+    from guassianhand_tpu.train.fit import FitConfig, make_optimizer
+
+    params = {"color_b": jnp.ones((3,)), "frozen_thing": jnp.ones((2,))}
+    cfg = FitConfig(lr=0.1, accumulate_grad_batches=2, milestones=())
+    tx = make_optimizer(params, cfg)
+    state = tx.init(params)
+
+    g1 = {"color_b": jnp.full((3,), 1.0), "frozen_thing": jnp.ones((2,))}
+    g2 = {"color_b": jnp.full((3,), 3.0), "frozen_thing": jnp.ones((2,))}
+
+    up1, state = tx.update(g1, state, params)
+    p_mid = optax.apply_updates(params, up1)
+    np.testing.assert_array_equal(np.asarray(p_mid["color_b"]),
+                                  np.ones(3))  # no update yet
+    up2, state = tx.update(g2, state, p_mid)
+    p_end = optax.apply_updates(p_mid, up2)
+    # adam on the mean grad (2.0): first step = -lr * sign-ish update
+    assert np.all(np.asarray(p_end["color_b"]) < 1.0)
+    np.testing.assert_array_equal(np.asarray(p_end["frozen_thing"]),
+                                  np.ones(2))  # frozen leaves never move
+
+
+def test_save_video_fallback(tmp_path):
+    from guassianhand_tpu.utils.saving import save_video
+
+    frames = [np.full((8, 8, 3), v, np.float32) for v in (0.0, 0.5, 1.0)]
+    out = save_video(str(tmp_path / "turntable.mp4"), frames, fps=10)
+    assert os.path.exists(out)
+    assert out.endswith((".mp4", ".gif"))
