@@ -46,8 +46,13 @@ def main():
     cam = Camera.from_w2c(w2c, K, hw, hw)
     import os
 
+    # Tuned to this scene's measured tile-overlap stats (max need == 9 at
+    # these scales; see memory: M=16 was 44% enumeration waste). The
+    # overflow == 0 assertion below guards the honesty of the tuning: a cap
+    # too small for the scene fails the bench instead of dropping work.
     cfg = RasterizeConfig(
-        max_tiles_per_gaussian=16,
+        max_tiles_per_gaussian=int(os.environ.get("GH_BENCH_M", "9")),
+        pairs_per_gaussian=float(os.environ.get("GH_BENCH_BUDGET", "3.0")),
         block_size=int(os.environ.get("GH_BENCH_BLOCK", "128")),
         tile_size=int(os.environ.get("GH_BENCH_TILE", "16")))
     tgt = jnp.asarray(rng.uniform(0, 1, (hw, hw, 3)).astype(np.float32))

@@ -31,6 +31,7 @@ from guassianhand_tpu.core import sh as sh_lib
 from guassianhand_tpu.ops import binning as binning_lib
 from guassianhand_tpu.ops import rasterize_pallas as kern
 from guassianhand_tpu.ops.binning import BinningConfig
+from guassianhand_tpu.ops.common import T_EPS
 from guassianhand_tpu.ops.projection import project_gaussians
 
 
@@ -191,22 +192,47 @@ def _composite_bwd(height, width, cfg, residuals, cotangents):
     gtiles = gtiles.at[:, 3].set(g_t_tiles)
     gtiles = gtiles.at[:, 4].set(tfinal_tiles)
 
+    # Dead-block compaction: a block whose INCOMING per-pixel transmittance
+    # is all < T_EPS contributes exactly zero gradient (every pair's
+    # acceptance bit is 0), and because T is monotone non-increasing through
+    # a tile's depth-sorted blocks, dead blocks are always a SUFFIX of the
+    # tile — so compacting the kept blocks preserves per-tile contiguity and
+    # the kernel's descending-sweep carry stays exact (skipped blocks add
+    # nothing to the suffix accumulator). The replay then walks only the
+    # live fraction of the slab. All the remapping below is on TB-sized
+    # (~thousand-element) arrays — negligible next to the kernel.
+    c_total = block_off[num_tiles]
+    blk = jnp.arange(total_blocks, dtype=jnp.int32)
+    keep = (blk < c_total) & (jnp.max(tchk[:total_blocks], axis=1) >= T_EPS)
+    kb = jnp.argsort(jnp.where(keep, blk, total_blocks))  # kept ids ascending
+    kept_nb = jax.ops.segment_sum(
+        keep.astype(jnp.int32), jnp.clip(tile_of_block, 0, num_tiles),
+        num_segments=num_tiles + 1)[:num_tiles]
+    kept_boff = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                 jnp.cumsum(kept_nb).astype(jnp.int32)])
+    ck = kept_boff[num_tiles]
+    live_j = jnp.arange(total_blocks, dtype=jnp.int32) < ck
+    tob2 = jnp.where(live_j, tile_of_block[kb], num_tiles)
+    bob2 = jnp.where(live_j, base_of_block[kb], 0)
+    srcb2 = jnp.where(live_j, src_base[kb], 0)
+    tbk = tchk.shape[0]
+    tchk2 = jnp.pad(tchk[kb], ((0, tbk - total_blocks), (0, 0)))
+
     pair_grads = kern.composite_backward(
-        attr_sorted, tchk, gtiles, block_off, counts, tile_of_block,
-        base_of_block, src_base, total_blocks,
+        attr_sorted, tchk2, gtiles, kept_boff, counts, tob2,
+        bob2, srcb2, total_blocks,
         num_tiles=num_tiles, ntx=ntx, tile_size=ts, block_size=g,
         max_blocks_per_tile=cfg.max_blocks_per_tile,
         interpret=cfg.interpret)  # (16, PP) slab order; row 9 = gaussian id
 
     # Per-gaussian reduction: the kernel passes each pair's gaussian id out
     # with the gradients (row 9), so no index gather is needed. Columns of
-    # blocks the kernel never walked (>= c_total) are UNINITIALIZED — route
+    # blocks the kernel never walked (>= ck) are UNINITIALIZED — route
     # them to the trash segment n. (A unique-index scatter into the enum grid
     # was measured SLOWER than segment_sum — TPU scatter ~10 ns/element.)
-    c_total = block_off[num_tiles]
     pp = total_blocks * g
     blk_of_col = jnp.arange(pp, dtype=jnp.int32) // g
-    live = blk_of_col < c_total
+    live = blk_of_col < ck
     gidx = jnp.where(live, pair_grads[9].astype(jnp.int32), n)
     gidx = jnp.clip(gidx, 0, n)
     seg = jax.ops.segment_sum(pair_grads[:9].T, gidx, num_segments=n + 1)[:n]

@@ -278,6 +278,11 @@ def composite_forward(attr_sorted, block_off, counts, src_base, total_blocks,
     """
     p = tile_size * tile_size
     g = block_size
+    # The dynamic-window attr DMA slices the (16, NMpad) table at g-aligned
+    # columns; Mosaic requires the slice start divisible by the 128-lane
+    # tiling (g=64 fails to compile: "tile index in dimension 1 is divisible
+    # by the tiling (128)").
+    assert g % 128 == 0, f"block_size must be a multiple of 128, got {g}"
     tb = total_blocks
     tbk = _cdiv(tb, K_CHUNK) * K_CHUNK
     t_pad = _cdiv(num_tiles, OUT_CHUNK) * OUT_CHUNK
