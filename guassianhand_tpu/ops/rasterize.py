@@ -131,13 +131,21 @@ def _composite(mean2d, conic, color, opacity, tile_flat, depth,
     segment_sum. Returns (rgb, final_t, n_pairs, overflow_capbudget); the
     last two are diagnostics (zero gradients).
     """
-    out, _ = _composite_fwd(mean2d, conic, color, opacity, tile_flat, depth,
-                            height, width, cfg)
+    # Primal (non-differentiated) path: skip the per-pair transmittance
+    # stream the backward would need — render-only callers pay nothing.
+    out, _ = _composite_impl(mean2d, conic, color, opacity, tile_flat, depth,
+                             height, width, cfg, store_cpx=False)
     return out
 
 
 def _composite_fwd(mean2d, conic, color, opacity, tile_flat, depth,
                    height, width, cfg):
+    return _composite_impl(mean2d, conic, color, opacity, tile_flat, depth,
+                           height, width, cfg, store_cpx=True)
+
+
+def _composite_impl(mean2d, conic, color, opacity, tile_flat, depth,
+                    height, width, cfg, *, store_cpx):
     n = mean2d.shape[0]
     m = cfg.max_tiles_per_gaussian
     g = cfg.block_size
@@ -153,23 +161,23 @@ def _composite_fwd(mean2d, conic, color, opacity, tile_flat, depth,
      overflow_cap, overflow_budget) = binning_lib.slab_layout(
         tile_s, num_tiles, total_blocks, bcfg)
 
-    tiles, tchk = kern.composite_forward(
+    tiles, tchk, cpx = kern.composite_forward(
         attr_sorted, block_off, counts, src_base, total_blocks,
         num_tiles=num_tiles, ntx=ntx, tile_size=ts,
         block_size=g, max_blocks_per_tile=cfg.max_blocks_per_tile,
-        interpret=cfg.interpret)  # (T, 8, P), (TBk, P)
+        interpret=cfg.interpret, store_cpx=store_cpx)
     rgb = _tiles_to_image(tiles[:, 0:3], height, width, ts)
     final_t = _tiles_to_image(tiles[:, 3:4], height, width, ts)[..., 0]
     n_pairs = jnp.sum(counts[:num_tiles])
     overflow = (overflow_cap + overflow_budget).astype(jnp.int32)
-    residuals = (attr_sorted, tchk, block_off, counts, tile_of_block,
+    residuals = (attr_sorted, tchk, cpx, block_off, counts, tile_of_block,
                  base_of_block, src_base, tiles[:, 3], opacity, tile_flat,
                  depth)
     return (rgb, final_t, n_pairs, overflow), residuals
 
 
 def _composite_bwd(height, width, cfg, residuals, cotangents):
-    (attr_sorted, tchk, block_off, counts, tile_of_block, base_of_block,
+    (attr_sorted, tchk, cpx, block_off, counts, tile_of_block, base_of_block,
      src_base, tfinal_tiles, opacity_tok, tile_flat, depth_tok) = residuals
     g_rgb, g_t, _g_npairs, _g_overflow = cotangents
     ts = cfg.tile_size
@@ -215,12 +223,13 @@ def _composite_bwd(height, width, cfg, residuals, cotangents):
     tob2 = jnp.where(live_j, tile_of_block[kb], num_tiles)
     bob2 = jnp.where(live_j, base_of_block[kb], 0)
     srcb2 = jnp.where(live_j, src_base[kb], 0)
-    tbk = tchk.shape[0]
-    tchk2 = jnp.pad(tchk[kb], ((0, tbk - total_blocks), (0, 0)))
+    # cpx stays in ORIGINAL block order (it is TB x P x G — gathering it
+    # would move hundreds of MB); the kernel indirects through cpxb instead.
+    cpxb = jnp.where(live_j, kb, 0)
 
     pair_grads = kern.composite_backward(
-        attr_sorted, tchk2, gtiles, kept_boff, counts, tob2,
-        bob2, srcb2, total_blocks,
+        attr_sorted, cpx, gtiles, kept_boff, counts, tob2,
+        bob2, srcb2, cpxb, total_blocks,
         num_tiles=num_tiles, ntx=ntx, tile_size=ts, block_size=g,
         max_blocks_per_tile=cfg.max_blocks_per_tile,
         interpret=cfg.interpret)  # (16, PP) slab order; row 9 = gaussian id

@@ -119,7 +119,9 @@ def _prefix_products(g1, g: int):
 
 
 def _forward_block(attr, px, py, base, cnt, tc, g: int):
-    """One composite block: returns (color_contrib (3, P), t_new (P, 1))."""
+    """One composite block: returns (color_contrib (3, P), t_new (P, 1),
+    cpexc (P, G) — the per-pair incoming transmittance, streamed out for the
+    backward so it never re-runs the prefix-product scan)."""
     alpha, _, _, _, _, _ = _block_alpha(attr, px, py, base, cnt, g)
     excl, incl = _prefix_products(1.0 - alpha, g)  # masked slots: alpha == 0
     cpexc = tc * excl
@@ -135,15 +137,19 @@ def _forward_block(attr, px, py, base, cnt, tc, g: int):
     # cpincl is non-increasing, so min over accepted == T after the last
     # accepted pair; exact because cpincl is an exact product chain.
     t_new = jnp.min(jnp.where(acc > 0, cpincl, tc), axis=1, keepdims=True)
-    return contrib, t_new
+    return contrib, t_new, cpexc
 
 
 def _fwd_kernel(boff_ref, cnt_ref, srcb_ref, attr_hbm, out_hbm, tchk_hbm,
-                abuf, asem, obuf, osem, kbuf, ksem,
+                cpx_hbm, abuf, asem, obuf, osem, kbuf, ksem, cbuf, csem,
                 *, ntx: int, tile_size: int, g: int, num_tiles: int,
-                num_tiles_pad: int):
+                num_tiles_pad: int, store_cpx: bool):
     p = tile_size * tile_size
     c_total = boff_ref[num_tiles]
+
+    def dma_cpx(slot, blk):
+        return pltpu.make_async_copy(
+            cbuf.at[slot], cpx_hbm.at[pl.ds(blk, 1)], csem.at[slot])
 
     def dma_attr(slot, blk):
         # Sorted-direct read: block blk's pairs live at srcb[blk] in the
@@ -213,8 +219,17 @@ def _fwd_kernel(boff_ref, cnt_ref, srcb_ref, attr_hbm, out_hbm, tchk_hbm,
             # jax.lax.cond(max(tc) >= T_EPS, ...) was measured at +5.6 ms at
             # the 512^2 bench — Mosaic branches around vector code spill the
             # loop carries and pay for both branches; do NOT reintroduce it.
-            contrib, t_new = _forward_block(attr_window(cur, blk), px, py,
-                                            b * g, cnt, tc, g)
+            contrib, t_new, cpexc = _forward_block(attr_window(cur, blk), px,
+                                                   py, b * g, cnt, tc, g)
+            if store_cpx:
+                cslot = blk % 2
+
+                @pl.when(blk >= 2)
+                def _():
+                    dma_cpx(cslot, blk - 2).wait()
+
+                cbuf[cslot, 0] = cpexc
+                dma_cpx(cslot, blk).start()
             return t_new, acc + contrib
 
         tc0 = jnp.ones((p, 1), jnp.float32)
@@ -265,16 +280,29 @@ def _fwd_kernel(boff_ref, cnt_ref, srcb_ref, attr_hbm, out_hbm, tchk_hbm,
     def _():
         dma_out((n_oc - 2) % 2, n_oc - 2).wait()
 
+    if store_cpx:
+        @pl.when(c_total >= 1)
+        def _():
+            dma_cpx((c_total - 1) % 2, c_total - 1).wait()
+
+        @pl.when(c_total >= 2)
+        def _():
+            dma_cpx((c_total - 2) % 2, c_total - 2).wait()
+
 
 def composite_forward(attr_sorted, block_off, counts, src_base, total_blocks,
                       *, num_tiles: int, ntx: int, tile_size: int,
                       block_size: int, max_blocks_per_tile: int,
-                      interpret: bool = False):
+                      interpret: bool = False, store_cpx: bool = False):
     """attr_sorted: (16, NMpad) fp32 pair attrs in depth-sorted order (NMpad
     g-aligned with >= 2g tail padding); block_off: (T+1,) block offsets (units
     of blocks); counts: (T+1,); src_base: (TB,) per-block start column into
-    attr_sorted. Returns (out (T, 8, P), tchk (TBk, P)): out rows 0-2 color,
-    3 final T; tchk holds per-block transmittance checkpoints for the backward.
+    attr_sorted. Returns (out (T, 8, P), tchk (TBk, P), cpx): out rows 0-2
+    color, 3 final T; tchk holds per-block start-of-block transmittance (used
+    by the backward's dead-block compaction). With store_cpx, cpx is
+    (TB, P, G) per-pair incoming transmittance — the backward consumes it and
+    skips the prefix-product scans entirely; without it cpx is a (1, P, G)
+    dummy (render-only paths pay neither the HBM nor the DMA cost).
     """
     p = tile_size * tile_size
     g = block_size
@@ -293,7 +321,8 @@ def composite_forward(attr_sorted, block_off, counts, src_base, total_blocks,
     cnt_pad = jnp.pad(counts, (0, t_pad + 1 - counts.shape[0]))
 
     kernel = functools.partial(_fwd_kernel, ntx=ntx, tile_size=tile_size,
-                               g=g, num_tiles=num_tiles, num_tiles_pad=t_pad)
+                               g=g, num_tiles=num_tiles, num_tiles_pad=t_pad,
+                               store_cpx=store_cpx)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(1,),
@@ -303,6 +332,7 @@ def composite_forward(attr_sorted, block_off, counts, src_base, total_blocks,
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # out, chunk-DMA'd
             pl.BlockSpec(memory_space=pl.ANY),  # tchk
+            pl.BlockSpec(memory_space=pl.ANY),  # cpx
         ],
         scratch_shapes=[
             pltpu.VMEM((2, ATTR_ROWS, 2 * g), jnp.float32),
@@ -311,24 +341,27 @@ def composite_forward(attr_sorted, block_off, counts, src_base, total_blocks,
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((2, K_CHUNK, p), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, 1, p, g), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    out, tchk = pl.pallas_call(
+    out, tchk, cpx = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((t_pad, 8, p), jnp.float32),
             jax.ShapeDtypeStruct((tbk, p), jnp.float32),
+            jax.ShapeDtypeStruct((tb if store_cpx else 1, p, g), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(boff_pad, cnt_pad, src_base, attr_sorted)
-    return out[:num_tiles], tchk
+    return out[:num_tiles], tchk, cpx
 
 
-def _bwd_kernel(boff_ref, cnt_ref, tob_ref, bob_ref, srcb_ref,
-                attr_hbm, tchk_hbm, gtile_hbm, grad_hbm,
-                abuf, asem, kbuf, ksem, gb, gsem, obuf, osem,
+def _bwd_kernel(boff_ref, cnt_ref, tob_ref, bob_ref, srcb_ref, cpxb_ref,
+                attr_hbm, cpx_hbm, gtile_hbm, grad_hbm,
+                abuf, asem, cbuf, csem, gb, gsem, obuf, osem,
                 *, ntx: int, tile_size: int, g: int, num_tiles: int):
     p = tile_size * tile_size
     c_total = boff_ref[num_tiles]
@@ -340,10 +373,10 @@ def _bwd_kernel(boff_ref, cnt_ref, tob_ref, bob_ref, srcb_ref,
             attr_hbm.at[:, pl.ds(pl.multiple_of(start, g), 2 * g)],
             abuf.at[slot], asem.at[slot])
 
-    def dma_k(slot, kc):
+    def dma_cpx(slot, blk):
+        # cpx rows are indexed by ORIGINAL (pre-compaction) block id.
         return pltpu.make_async_copy(
-            tchk_hbm.at[pl.ds(pl.multiple_of(kc * K_CHUNK, K_CHUNK), K_CHUNK)],
-            kbuf.at[slot], ksem.at[slot])
+            cpx_hbm.at[pl.ds(cpxb_ref[blk], 1)], cbuf.at[slot], csem.at[slot])
 
     def dma_gt(slot, t):
         return pltpu.make_async_copy(
@@ -359,8 +392,16 @@ def _bwd_kernel(boff_ref, cnt_ref, tob_ref, bob_ref, srcb_ref,
     def _():
         b0 = c_total - 1
         dma_attr(b0 % 2, b0).start()
-        dma_k((b0 // K_CHUNK) % 2, b0 // K_CHUNK).start()
+        dma_cpx(b0 % 2, b0).start()
         dma_gt(0, tob_ref[b0]).start()
+
+    # Strict upper-triangular ones: suffix[p, i] = sum_{j > i} we[p, j] as a
+    # single MXU matmul (replaces a 7-step reversed Hillis-Steele lane scan —
+    # each element's sum is computed independently, so no total-minus-prefix
+    # cancellation).
+    ut = (jax.lax.broadcasted_iota(jnp.int32, (g, g), 0)
+          > jax.lax.broadcasted_iota(jnp.int32, (g, g), 1)
+          ).astype(jnp.float32)
 
     def body(k, carry):
         r_carry, gslot_prev = carry
@@ -381,24 +422,12 @@ def _bwd_kernel(boff_ref, cnt_ref, tob_ref, bob_ref, srcb_ref,
             def _():
                 dma_gt(1 - gslot, tob_ref[c_prev - 1]).start()
 
-        # tchk chunk stream (descending): first touch of chunk q happens at
-        # b % K == K-1 (or at the very first iteration).
-        q = b // K_CHUNK
-        kslot = q % 2
-
-        @pl.when((b % K_CHUNK == K_CHUNK - 1) | (k == 0))
-        def _():
-            dma_k(kslot, q).wait()
-
-            @pl.when(q >= 1)
-            def _():
-                dma_k((q - 1) % 2, q - 1).start()
-
         cur = b % 2
 
         @pl.when(b >= 1)
         def _():
             dma_attr((b - 1) % 2, b - 1).start()
+            dma_cpx((b - 1) % 2, b - 1).start()
 
         dma_attr(cur, b).wait()
         attr = pltpu.roll(abuf[cur], -(srcb_ref[b] % g), axis=1)[:, :g]
@@ -409,10 +438,14 @@ def _bwd_kernel(boff_ref, cnt_ref, tob_ref, bob_ref, srcb_ref,
         px, py = _pixel_coords(t, ntx, tile_size, p)
         alpha, alpha_raw, exp_power, dx, dy, (ca, cb, cc) = _block_alpha(
             attr, px, py, base, cnt, g)
-        tstart = kbuf[kslot, pl.ds(b % K_CHUNK, 1)].reshape(p, 1)
-        excl, incl = _prefix_products(1.0 - alpha, g)
-        cpexc = tstart * excl
-        cpincl = tstart * incl
+        dma_cpx(cur, b).wait()
+        # Streamed from the forward: cpexc is exact (identical product
+        # chain); cpincl re-derives as cpexc*(1-alpha) — a few-ulp
+        # association difference from the forward's tree product, which can
+        # flip T_EPS-borderline acceptance bits (weights there are ~1e-4,
+        # same class as the existing cross-exp gate-flip noise).
+        cpexc = cbuf[cur][0]  # (P, G)
+        cpincl = cpexc * (1.0 - alpha)
         acc = (cpincl >= T_EPS).astype(jnp.float32)
         w = alpha * cpexc * acc
 
@@ -423,19 +456,10 @@ def _bwd_kernel(boff_ref, cnt_ref, tob_ref, bob_ref, srcb_ref,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)  # (P, G)
         we = w * e
-        # Exclusive suffix sum of we via a reversed Hillis-Steele scan —
-        # summed directly (total-minus-prefix cancels catastrophically
-        # exactly where the suffix is small, which showed up as ~1% gradient
-        # error against the oracle on TPU). (A lax.cond early-skip of this
-        # math when max(tstart) < T_EPS was measured at +12 ms fwd+bwd —
-        # Mosaic pays for both branches; do NOT reintroduce it.)
-        lane = jax.lax.broadcasted_iota(jnp.int32, we.shape, 1)
-        z = jnp.where(lane < g - 1, pltpu.roll(we, g - 1, axis=1), 0.0)
-        s = 1
-        while s < g:
-            z = z + jnp.where(lane < g - s, pltpu.roll(z, g - s, axis=1), 0.0)
-            s *= 2
-        suffix = z
+        suffix = jax.lax.dot_general(
+            we, ut, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)  # (P, G)
         r_i = suffix + r_in
         g_div = 1.0 - alpha
         live = acc * (alpha > 0.0).astype(jnp.float32)
@@ -491,16 +515,19 @@ def _bwd_kernel(boff_ref, cnt_ref, tob_ref, bob_ref, srcb_ref,
         dma_out(c_total % 2, 1).wait()  # started at k = c_total-2
 
 
-def composite_backward(attr_sorted, tchk, gtiles, block_off, counts,
-                       tile_of_block, base_of_block, src_base, total_blocks,
+def composite_backward(attr_sorted, cpx, gtiles, block_off, counts,
+                       tile_of_block, base_of_block, src_base, cpx_of_block,
+                       total_blocks,
                        *, num_tiles: int, ntx: int, tile_size: int,
                        block_size: int, max_blocks_per_tile: int,
                        interpret: bool = False):
     """Backward composite: single descending sweep over the flat block list.
 
     attr_sorted: (16, NMpad) as in forward (row 9 = gaussian id as f32).
-    tchk:   (TBk, P) per-block transmittance checkpoints from the forward.
+    cpx:    (TB, P, G) per-pair incoming transmittance from the forward
+            (store_cpx=True), indexed by ORIGINAL block id.
     gtiles: (T, 8, P): rows 0-2 dL/dcolor, 3 total dL/dT_final, 4 T_final.
+    cpx_of_block: (TB,) original block id per (possibly compacted) block.
     Returns per-pair gradients (16, PP) in SLAB block order (block b's pairs
     at columns [b*g, (b+1)*g)); row 9 carries each pair's gaussian id.
     Columns of blocks >= block_off[num_tiles] are never written — mask with
@@ -514,18 +541,18 @@ def composite_backward(attr_sorted, tchk, gtiles, block_off, counts,
     kernel = functools.partial(_bwd_kernel, ntx=ntx, tile_size=tile_size,
                                g=g, num_tiles=num_tiles)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(1,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # attr in HBM
-            pl.BlockSpec(memory_space=pl.ANY),  # tchk in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # cpx in HBM
             pl.BlockSpec(memory_space=pl.ANY),  # gtiles in HBM
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),  # grads in HBM
         scratch_shapes=[
             pltpu.VMEM((2, ATTR_ROWS, 2 * g), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((2, K_CHUNK, p), jnp.float32),
+            pltpu.VMEM((2, 1, p, g), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((2, 1, 8, p), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -539,6 +566,6 @@ def composite_backward(attr_sorted, tchk, gtiles, block_off, counts,
         out_shape=jax.ShapeDtypeStruct((GRAD_ROWS, pp), jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(boff_pad, counts, tile_of_block, base_of_block, src_base, attr_sorted,
-      tchk, gtiles)
+    )(boff_pad, counts, tile_of_block, base_of_block, src_base, cpx_of_block,
+      attr_sorted, cpx, gtiles)
     return grads

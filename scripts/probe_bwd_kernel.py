@@ -64,17 +64,18 @@ def run(inp, interpret):
               block_size=int(inp["block_size"]),
               max_blocks_per_tile=int(inp["max_blocks_per_tile"]),
               interpret=interpret)
-    tiles, tchk = kern.composite_forward(
+    tiles, tchk, cpx = kern.composite_forward(
         jnp.asarray(inp["attr"]), jnp.asarray(inp["block_off"]),
         jnp.asarray(inp["counts"]), jnp.asarray(inp["src_base"]),
-        total_blocks, **kw)
+        total_blocks, store_cpx=True, **kw)
     gt = np.array(inp["gtiles"])
     gt[:, 4, :] = np.asarray(tiles[:num_tiles, 3])  # row 4 must be T_final
+    cpxb = jnp.arange(total_blocks, dtype=jnp.int32)  # no compaction here
     grads = kern.composite_backward(
-        jnp.asarray(inp["attr"]), tchk, jnp.asarray(gt),
+        jnp.asarray(inp["attr"]), cpx, jnp.asarray(gt),
         jnp.asarray(inp["block_off"]), jnp.asarray(inp["counts"]),
         jnp.asarray(inp["tob"]), jnp.asarray(inp["bob"]),
-        jnp.asarray(inp["src_base"]), total_blocks, **kw)
+        jnp.asarray(inp["src_base"]), cpxb, total_blocks, **kw)
     return np.asarray(tiles), np.asarray(tchk), np.asarray(grads)
 
 
