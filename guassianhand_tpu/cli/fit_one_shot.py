@@ -150,6 +150,12 @@ def main(argv=None):
             last, {"params": params, "opt_state": None, "step": 0})
         params = restored["params"]
         print(f"evaluating checkpoint {last}")
+    # LPIPS (evaluator.py:48-65): scored only when real alexnet weights are
+    # available; otherwise omitted AND the omission is stamped into the YAML
+    # so random-weight runs are never mistaken for protocol-comparable ones.
+    from guassianhand_tpu.train.lpips import LPIPS, lpips_from_01
+    lpips_metric = LPIPS(cfg.lpips_weights)
+
     results = []
     if eval_batches is None:
         eval_batches = (dataset.load_sample(i) for i in range(len(dataset)))
@@ -168,10 +174,21 @@ def main(argv=None):
             scores["ssim"] = float(ssim(jnp.asarray(pc), jnp.asarray(tc)))
         else:
             scores["ssim"] = float(ssim(jnp.asarray(pred), jnp.asarray(tgt)))
+        if lpips_metric.pretrained:
+            scores["lpips"] = float(lpips_from_01(
+                lpips_metric, jnp.asarray(pred)[None], jnp.asarray(tgt)[None]))
         results.append(scores)
         saver.save_rgb(f"images/frame{i:04d}_pred.png", pred)
         saver.save_rgb(f"images/frame{i:04d}_gt.png", tgt)
     mean = {k: float(np.mean([r[k] for r in results])) for k in results[0]}
+    # Provenance stamp: metrics from random-weight perceptual nets are not
+    # comparable to the reference protocol — record it in the artifact.
+    mean["weights_provenance"] = {
+        "vgg19": "pretrained" if (vgg is not None and vgg.pretrained)
+                 else "absent_or_random",
+        "lpips_alex": "pretrained" if lpips_metric.pretrained else
+                      "absent (lpips omitted)",
+    }
     out_path = os.path.join(run_dir, "test_metrics.yml")
     with open(out_path, "w") as f:
         yaml.safe_dump(mean, f)

@@ -55,6 +55,7 @@ class ExperimentConfig:
     fit: FitConfig = FitConfig()
     edit: EditConfig = EditConfig()
     vgg_weights: Optional[str] = None
+    lpips_weights: Optional[str] = None  # evaluator.py:16 lpips-alex ckpt
     pretrained: Optional[str] = None
     resume: bool = True
 

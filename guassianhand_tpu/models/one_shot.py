@@ -229,15 +229,22 @@ class OneShotAvatarModel(nn.Module):
 
         query_points = batch.get("points_tar", points)
 
-        def render_one(feats, pts, vuv, w2cs, Ks, bg):
+        # Optional exact UV re-projection (renderer_one_shot.py:481-487):
+        # when the batch carries the posed UV mesh (tri_xyz (B,F,3,3),
+        # tri_uv (B,F,3,2)) and the renderer is configured for it, every
+        # refined/duplicated point re-projects through the mesh.
+        tris = (batch["tri_xyz"], batch["tri_uv"]) \
+            if "tri_xyz" in batch else (None, None)
+
+        def render_one(feats, pts, vuv, w2cs, Ks, bg, txyz, tuv):
             return self.renderer(
                 feats, pts, vuv, w2cs, Ks, height=height, width=width,
                 background=bg, color_w=self.color_w, xyz_b=self.xyz_b,
                 color_b_map=self.color_b, opacity_b_map=self.opacity_b,
-                edit=edit)
+                edit=edit, tri_xyz=txyz, tri_uv=tuv)
 
         out = jax.vmap(render_one)(
             hidden, query_points, uv, batch["w2c_render"], batch["K_render"],
-            batch.get("background", jnp.zeros((b, 3))))
+            batch.get("background", jnp.zeros((b, 3))), *tris)
         out["points"] = points
         return out

@@ -312,3 +312,78 @@ class SnowflakeDecoder(nn.Module):
                     name=f"uppers_{i}")(points, cond.mean(axis=0), k_prev)
             all_levels.append(points)
         return points, all_levels
+
+
+class PointNetSAModuleKNN(nn.Module):
+    """PointNet++ set abstraction, kNN grouping (utils.py:334-384).
+
+    Single-sample: xyz (N, 3), feats (N, C) or None -> (new_xyz (npoint, 3),
+    new_feats (npoint, mlp[-1])). Matches the reference semantics: FPS centers
+    (``furthest_point_sample``), ``query_knn`` neighborhoods including self,
+    grouped xyz re-centered on the sampled point (sample_and_group_knn,
+    utils.py:298-332), Conv2d(1x1)+BN+ReLU chain with the LAST layer bare
+    (if_bn=False, activation None, utils.py:356), max-pool over neighbors.
+    ``group_all`` makes one group of every point centered at the origin
+    (sample_and_group_all, utils.py:137-164).
+    """
+
+    npoint: int
+    nsample: int
+    mlp: Sequence[int]
+    group_all: bool = False
+    use_xyz: bool = True
+
+    @nn.compact
+    def __call__(self, xyz, feats=None):
+        from guassianhand_tpu.ops.fps import fps_subsample
+
+        if self.group_all:
+            new_xyz = jnp.zeros((1, 3), xyz.dtype)
+            grouped_xyz = xyz[None]                       # (1, N, 3)
+            grouped = grouped_xyz
+            if feats is not None:
+                grouped = (jnp.concatenate([grouped_xyz, feats[None]], -1)
+                           if self.use_xyz else feats[None])
+        else:
+            new_xyz = fps_subsample(xyz, self.npoint)     # (npoint, 3)
+            _, idx = knn(new_xyz, xyz, self.nsample)      # (npoint, K)
+            grouped_xyz = xyz[idx] - new_xyz[:, None, :]  # re-centered
+            grouped = grouped_xyz
+            if feats is not None:
+                grouped = (jnp.concatenate([grouped_xyz, feats[idx]], -1)
+                           if self.use_xyz else feats[idx])
+
+        x = grouped
+        for i, out in enumerate(self.mlp[:-1]):
+            x = nn.Dense(out, name=f"conv{i}")(x)
+            x = FrozenBatchNorm(out, name=f"bn{i}")(x)
+            x = nn.relu(x)
+        x = nn.Dense(self.mlp[-1], name=f"conv{len(self.mlp) - 1}")(x)
+        return new_xyz, jnp.max(x, axis=1)                # max over neighbors
+
+
+class PointNetFPModule(nn.Module):
+    """PointNet++ feature propagation (utils.py:216-263).
+
+    Single-sample: interpolates coarse features feats2 @ xyz2 (M, C2) onto
+    dense positions xyz1 (N, 3) by inverse-distance-weighted 3-NN
+    (three_nn/three_interpolate semantics, dist clamped at 1e-10), optionally
+    concatenates the dense skip features feats1, then a Conv1d+BN+ReLU chain.
+    """
+
+    mlp: Sequence[int]
+    use_points1: bool = False
+
+    @nn.compact
+    def __call__(self, xyz1, xyz2, feats1, feats2):
+        d2, idx = knn(xyz1, xyz2, 3)                      # squared L2, (N, 3)
+        recip = 1.0 / jnp.maximum(jnp.sqrt(d2), 1e-10)
+        w = recip / jnp.sum(recip, axis=1, keepdims=True)
+        interp = jnp.sum(feats2[idx] * w[..., None], axis=1)  # (N, C2)
+        x = (jnp.concatenate([interp, feats1], axis=-1)
+             if self.use_points1 else interp)
+        for i, out in enumerate(self.mlp):
+            x = nn.Dense(out, name=f"conv{i}")(x)
+            x = FrozenBatchNorm(out, name=f"bn{i}")(x)
+            x = nn.relu(x)
+        return x

@@ -54,6 +54,12 @@ class RendererConfig:
     sh_degree: int = 3
     use_rgb: bool = True
     multiview_batched: bool = True  # one binning+kernel launch for all views
+    # Re-project every (possibly refined/duplicated) point's UV through the
+    # posed UV mesh via mano.uv.get_uvd, exactly like the reference's
+    # per-forward re-projection (renderer_one_shot.py:481-487). Off by
+    # default: refinement offsets are bounded at 1e-3 (sub-texel), and the
+    # closest-point search is O(N*F) per forward. Requires tri_xyz/tri_uv.
+    exact_duplicate_uv: bool = False
     raster: RasterizeConfig = RasterizeConfig()
 
 
@@ -70,14 +76,17 @@ class GSRenderer(nn.Module):
         self.vert_pos_refinement = VertPosRefinement()
 
     def build_gaussians(self, features: jax.Array, points: jax.Array,
-                        vert_uv: jax.Array):
+                        vert_uv: jax.Array, tri_xyz=None, tri_uv=None):
         """features (N, C), points (N, 3), vert_uv (N, 2) packed-atlas UVs.
 
         Returns (Gaussians with 2N static slots + validity, uv (2N, 2)).
-        The duplicated half reuses the parent vertex UV — the refinement
-        offset is bounded by 1e-3 (VertPosRefinement.radius), far below one
-        UV texel, so re-projecting through the UV mesh (reference
-        renderer_one_shot.py:481-487) is numerically a no-op for it.
+        By default the duplicated half reuses the parent vertex UV — the
+        refinement offset is bounded by 1e-3 (VertPosRefinement.radius), far
+        below one UV texel, so re-projecting through the UV mesh (reference
+        renderer_one_shot.py:481-487) is numerically a no-op for it. With
+        ``cfg.exact_duplicate_uv`` (and tri_xyz (F, 3, 3) / tri_uv (F, 3, 2)
+        supplied) every point's UV is re-projected through
+        mano.uv.get_uvd exactly as the reference does each forward.
         """
         score = self.gs_valid(features, points)[:, 0]  # (N,)
         keep = score > self.cfg.threshold_low
@@ -92,7 +101,11 @@ class GSRenderer(nn.Module):
         gs = self.gs_net(h, all_points)
         gs = Gaussians(xyz=gs.xyz, opacity=gs.opacity, rotation=gs.rotation,
                        scaling=gs.scaling, shs=gs.shs, valid=valid)
-        uv = jnp.concatenate([vert_uv, vert_uv], axis=0)
+        if self.cfg.exact_duplicate_uv and tri_xyz is not None:
+            from guassianhand_tpu.mano.uv import get_uvd
+            uv, _ = get_uvd(gs.xyz, tri_xyz, tri_uv)
+        else:
+            uv = jnp.concatenate([vert_uv, vert_uv], axis=0)
         return gs, uv
 
     def apply_appearance(self, gs: Gaussians, uv: jax.Array,
@@ -180,9 +193,11 @@ class GSRenderer(nn.Module):
 
     def __call__(self, features, points, vert_uv, w2cs, Ks, *, height, width,
                  background=None, color_w=None, xyz_b=None, color_b_map=None,
-                 opacity_b_map=None, edit: EditConfig = EditConfig()):
+                 opacity_b_map=None, edit: EditConfig = EditConfig(),
+                 tri_xyz=None, tri_uv=None):
         """Single-sample forward (vmap over batch at the model level)."""
-        gs, uv = self.build_gaussians(features, points, vert_uv)
+        gs, uv = self.build_gaussians(features, points, vert_uv,
+                                      tri_xyz=tri_xyz, tri_uv=tri_uv)
         gs = self.apply_appearance(gs, uv, color_w, xyz_b, color_b_map,
                                    opacity_b_map, edit)
         out = self.render_views(gs, w2cs, Ks, height, width, background)

@@ -186,3 +186,41 @@ def test_shipped_configs():
     over = load_config(os.path.join(root, "one_shot.yaml"),
                        ["fit.lr=0.5", "data.height=128"])
     assert over.fit.lr == 0.5 and over.data.height == 128
+
+
+def test_pointnet_sa_fp_modules():
+    """PointNet++ SA (kNN) and FP modules: shapes, grouping semantics, and
+    inverse-distance interpolation (ref snowflake/utils.py:216-263,334-384)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from guassianhand_tpu.nn.snowflake import (PointNetSAModuleKNN,
+                                               PointNetFPModule)
+
+    rng = np.random.RandomState(0)
+    xyz = jnp.asarray(rng.normal(size=(64, 3)).astype(np.float32))
+    feats = jnp.asarray(rng.normal(size=(64, 8)).astype(np.float32))
+
+    sa = PointNetSAModuleKNN(npoint=16, nsample=8, mlp=(32, 64))
+    params = sa.init(jax.random.PRNGKey(0), xyz, feats)
+    new_xyz, new_feats = sa.apply(params, xyz, feats)
+    assert new_xyz.shape == (16, 3) and new_feats.shape == (16, 64)
+    # FPS centers are actual input points
+    d = jnp.min(jnp.sum((new_xyz[:, None] - xyz[None]) ** 2, -1), axis=1)
+    assert float(jnp.max(d)) < 1e-10
+
+    sa_all = PointNetSAModuleKNN(npoint=0, nsample=0, mlp=(32, 64),
+                                 group_all=True)
+    p2 = sa_all.init(jax.random.PRNGKey(0), xyz, feats)
+    gx, gf = sa_all.apply(p2, xyz, feats)
+    assert gx.shape == (1, 3) and gf.shape == (1, 64)
+
+    # FP: interpolating a linear field reproduces it (3-NN inverse-distance
+    # weights are exact when the coarse set contains the query point).
+    xyz2 = xyz[:32]
+    feats2 = xyz2 @ jnp.ones((3, 5))  # linear in position
+    fp = PointNetFPModule(mlp=(16,), use_points1=True)
+    p3 = fp.init(jax.random.PRNGKey(0), xyz[:32], xyz2, feats[:32], feats2)
+    out = fp.apply(p3, xyz[:32], xyz2, feats[:32], feats2)
+    assert out.shape == (32, 16)
+    assert np.isfinite(np.asarray(out)).all()

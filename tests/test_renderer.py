@@ -114,3 +114,35 @@ def test_build_gaussians_capacity_and_masks():
     # refined duplicates stay within the refinement radius of the originals
     d = np.abs(np.asarray(gs.xyz[8:]) - np.asarray(pts))
     assert d.max() <= 1e-3 + 1e-6
+
+
+def test_exact_duplicate_uv_reprojection():
+    """exact_duplicate_uv re-projects all 2N points through the UV mesh
+    (renderer_one_shot.py:481-487): on-mesh points recover their triangle's
+    interpolated UV."""
+    r = GSRenderer(cfg=RendererConfig(
+        exact_duplicate_uv=True,
+        raster=RasterizeConfig(interpret=True)))
+    # one right triangle in the z=0 plane with known corner UVs
+    tri_xyz = jnp.asarray([[[0.0, 0, 0], [1, 0, 0], [0, 1, 0]]])
+    tri_uv = jnp.asarray([[[0.0, 0], [0.5, 0], [0.0, 1]]])
+    pts = jnp.asarray([[0.25, 0.25, 0.0], [0.1, 0.2, 0.05],
+                       [0.5, 0.0, 0.0], [0.0, 0.5, 0.0]])
+    feats = jnp.zeros((4, 131))
+    vert_uv = jnp.full((4, 2), 0.77)  # wrong on purpose; must be ignored
+    params = r.init(jax.random.PRNGKey(0), feats, pts, vert_uv,
+                    tri_xyz=tri_xyz, tri_uv=tri_uv,
+                    method=GSRenderer.build_gaussians)
+    gs, uv = r.apply(params, feats, pts, vert_uv, tri_xyz=tri_xyz,
+                     tri_uv=tri_uv, method=GSRenderer.build_gaussians)
+    assert uv.shape == (8, 2)
+    # barycentric-exact for the first (on-plane) point: uv = 0.25*(b-a uv)
+    # + 0.25*(c-a uv) from corners (0,0),(0.5,0),(0,1)
+    np.testing.assert_allclose(np.asarray(uv[0]), [0.125, 0.25], atol=1e-5)
+    # edge midpoints of ab / ac interpolate the corner uvs
+    np.testing.assert_allclose(np.asarray(uv[2]), [0.25, 0.0], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(uv[3]), [0.0, 0.5], atol=1e-5)
+    # off-plane point projects to the surface (finite uv inside the triangle)
+    assert np.isfinite(np.asarray(uv)).all()
+    # the duplicated half gets re-projected too (not the parent copy 0.77)
+    assert abs(float(uv[4, 0]) - 0.77) > 0.1
