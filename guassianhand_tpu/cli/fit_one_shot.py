@@ -175,8 +175,14 @@ def main(argv=None):
         else:
             scores["ssim"] = float(ssim(jnp.asarray(pred), jnp.asarray(tgt)))
         if lpips_metric.pretrained:
+            # Protocol fidelity: the reference scores LPIPS on RELOADED
+            # PNGs (evaluator.py:48-65), i.e. on uint8-quantized images —
+            # quantize the same way before scoring.
+            pq = np.round(np.clip(pred, 0, 1) * 255.0) / 255.0
+            tq = np.round(np.clip(tgt, 0, 1) * 255.0) / 255.0
             scores["lpips"] = float(lpips_from_01(
-                lpips_metric, jnp.asarray(pred)[None], jnp.asarray(tgt)[None]))
+                lpips_metric, jnp.asarray(pq)[None].astype(jnp.float32),
+                jnp.asarray(tq)[None].astype(jnp.float32)))
         results.append(scores)
         saver.save_rgb(f"images/frame{i:04d}_pred.png", pred)
         saver.save_rgb(f"images/frame{i:04d}_gt.png", tgt)

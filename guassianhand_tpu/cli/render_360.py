@@ -33,7 +33,8 @@ def main(argv=None):
                                                  synthetic_batch)
     from guassianhand_tpu.models.one_shot import OneShotAvatarModel
     from guassianhand_tpu.train import checkpoints as ckpt_lib
-    from guassianhand_tpu.utils.saving import save_gif, save_video_frames
+    from guassianhand_tpu.utils.saving import (save_gif, save_video,
+                                               save_video_frames)
 
     cfg = load_config(args.config, extras)
     hw_h, hw_w = cfg.data.height, cfg.data.width
@@ -68,7 +69,8 @@ def main(argv=None):
             print(f"view {v}/{args.views}")
     paths = save_video_frames(out_dir, frames)
     save_gif(os.path.join(out_dir, "turntable.gif"), frames)
-    print(f"wrote {len(paths)} frames + turntable.gif to {out_dir}")
+    vid = save_video(os.path.join(out_dir, "turntable.mp4"), frames)
+    print(f"wrote {len(paths)} frames + turntable.gif + {vid} to {out_dir}")
     return 0
 
 
