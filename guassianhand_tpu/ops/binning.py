@@ -27,7 +27,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from guassianhand_tpu.ops.common import tile_rect
+from guassianhand_tpu.ops.common import (opacity_cull_r2, tile_min_dist2,
+                                          tile_rect)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -92,9 +93,16 @@ def enumerate_tiles(
     width: int,
     cfg: BinningConfig = BinningConfig(),
     y_band=None,
+    opacity=None,
 ):
     """Rect enumeration: (tile_flat (N*M,) int32 with sentinel num_tiles,
-    overflow_enum ()). Pure index computation, no gradients."""
+    overflow_enum ()). Pure index computation, no gradients.
+
+    With ``opacity`` given, rect tiles whose min distance from the Gaussian
+    center exceeds the opacity-aware cull radius (ops/common.opacity_cull_r2)
+    are dropped — EXACT w.r.t. the compositors' alpha >= ALPHA_MIN gate (the
+    oracle applies the identical rule). On low-opacity scenes this removes
+    the rect-corner tiles where the Gaussian can never clear the gate."""
     n = mean2d.shape[0]
     m = cfg.max_tiles_per_gaussian
     ntx, nty = grid_dims(height, width, cfg.tile_size)
@@ -124,6 +132,11 @@ def enumerate_tiles(
     ty = jnp.stack(tys, axis=1)
     mm = jnp.arange(m, dtype=jnp.int32)
     valid = mm[None, :] < need_cap[:, None]
+    if opacity is not None:
+        r2 = opacity_cull_r2(radius, opacity)              # (N,)
+        d2 = tile_min_dist2(mean2d[:, 0:1], mean2d[:, 1:2], tx, ty,
+                            cfg.tile_size)                 # (N, M)
+        valid = valid & (d2 <= r2[:, None])
     tile_id = jnp.where(valid, ty * ntx + tx, num_tiles).astype(jnp.int32)
     overflow_enum = jnp.sum(jnp.maximum(need - m, 0))
     return tile_id.reshape(-1), overflow_enum

@@ -18,6 +18,43 @@ ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
 T_EPS = 1e-4
 
+# Safety margin on the opacity-cull distance bound: the bound itself is
+# conservative in exact arithmetic; the margin additionally covers fp32
+# rounding differences between the bound and the kernels' actual conic
+# quadratic so a pair is only culled when alpha < ALPHA_MIN with room.
+CULL_MARGIN = 1.001
+
+
+def opacity_cull_r2(radius: jax.Array, opacity: jax.Array) -> jax.Array:
+    """Squared pixel distance beyond which a Gaussian's alpha is provably
+    < ALPHA_MIN (so the compositors' acceptance gate rejects it everywhere).
+
+    For any pixel p: q(p) = (p-mu)^T conic (p-mu) >= |p-mu|^2 / lambda_max,
+    and radius = ceil(3 sqrt(lambda_max)) gives lambda_max <= (radius/3)^2.
+    Hence alpha = opacity * exp(-q/2) < ALPHA_MIN whenever
+    |p-mu|^2 > 2 (radius/3)^2 ln(opacity/ALPHA_MIN). Culling a (gaussian,
+    tile) pair whose min distance to the tile exceeds this is EXACT — every
+    pixel of the tile fails the alpha >= ALPHA_MIN gate, contributing zero
+    to both the forward value and every gradient. Index computation only
+    (callers stop_gradient the inputs).
+    """
+    op = jax.lax.stop_gradient(opacity)
+    lam_ub = (radius / 3.0) ** 2
+    r2 = 2.0 * lam_ub * jnp.log(jnp.maximum(op, 1e-12) * (1.0 / ALPHA_MIN))
+    return jnp.where(op > ALPHA_MIN, r2 * CULL_MARGIN + 1e-2, 0.0)
+
+
+def tile_min_dist2(mx, my, tx, ty, tile_size: int):
+    """Min squared distance from point (mx, my) to tile (tx, ty)'s pixel rect
+    [tx*ts, tx*ts + ts - 1] x [ty*ts, ty*ts + ts - 1] (pixel centers at
+    integer coordinates). Broadcasts over any compatible shapes."""
+    ts = float(tile_size)
+    x0 = tx.astype(jnp.float32) * ts
+    y0 = ty.astype(jnp.float32) * ts
+    dx = jnp.maximum(jnp.maximum(x0 - mx, mx - (x0 + (ts - 1.0))), 0.0)
+    dy = jnp.maximum(jnp.maximum(y0 - my, my - (y0 + (ts - 1.0))), 0.0)
+    return dx * dx + dy * dy
+
 
 def straight_through_alpha(alpha_raw: jax.Array) -> jax.Array:
     """min(ALPHA_MAX, alpha) in value, identity in gradient (CUDA parity)."""

@@ -49,6 +49,10 @@ class RasterizeConfig:
     # 15.8-16.1 ms) than "pallas", the fused single-kernel pair
     # (ops/projection_pallas.py) whose call boundary blocks that fusion.
     projection_impl: str = "xla"
+    # Exact opacity-aware (gaussian, tile) culling: drop rect tiles the
+    # Gaussian can never clear the alpha >= 1/255 acceptance gate in
+    # (ops/common.opacity_cull_r2 — the oracle applies the identical rule).
+    opacity_cull: bool = True
     scale_modifier: float = 1.0
     znear: float = 0.01
     zfar: float = 1000.0
@@ -299,7 +303,8 @@ def rasterize(
 
     tile_flat, overflow_enum = binning_lib.enumerate_tiles(
         proj.mean2d, proj.radius, proj.visible,
-        height=height, width=width, cfg=config.binning())
+        height=height, width=width, cfg=config.binning(),
+        opacity=opacity if config.opacity_cull else None)
 
     rgb, final_t, n_pairs, overflow = _composite(
         proj.mean2d, proj.conic, color, opacity, tile_flat, proj.depth,
@@ -388,7 +393,8 @@ def rasterize_multiview(
     tile_flat, overflow_enum = binning_lib.enumerate_tiles(
         mean2d, radius, visible,
         height=v * band_h, width=width, cfg=config.binning(),
-        y_band=(band_lo, band_lo + nty_band))
+        y_band=(band_lo, band_lo + nty_band),
+        opacity=opacity_f if config.opacity_cull else None)
 
     rgb, final_t, n_pairs, overflow = _composite(
         mean2d, conic, color, opacity_f, tile_flat, depth,

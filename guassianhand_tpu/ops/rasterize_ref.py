@@ -15,8 +15,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from guassianhand_tpu.ops.common import (ALPHA_MIN, T_EPS, straight_through_alpha,
-                                         tile_rect)
+from guassianhand_tpu.ops.common import (ALPHA_MIN, T_EPS, opacity_cull_r2,
+                                         straight_through_alpha,
+                                         tile_min_dist2, tile_rect)
 
 
 def composite_reference(
@@ -31,6 +32,7 @@ def composite_reference(
     width: int,
     background: jax.Array,  # (3,)
     tile_size: int = 16,
+    opacity_cull: bool = True,
 ):
     """Returns (image (H, W, 3), alpha (H, W), final_T (H, W))."""
     n = mean2d.shape[0]
@@ -67,6 +69,14 @@ def composite_reference(
 
     keep = (visible[None, :] & in_tile & (power <= 0.0)
             & (jax.lax.stop_gradient(alpha) >= ALPHA_MIN))
+    if opacity_cull:
+        # Same exact tile-granularity opacity cull as the binner
+        # (ops/binning.enumerate_tiles): identical formula on identical
+        # values, so the two implementations make bit-identical decisions.
+        r2 = opacity_cull_r2(radius, opacity)
+        d2 = tile_min_dist2(mean2d[None, :, 0], mean2d[None, :, 1],
+                            ptx, pty, tile_size)  # (P, N)
+        keep = keep & jax.lax.stop_gradient(d2 <= r2[None, :])
     alpha_eff = alpha * keep.astype(alpha.dtype)
 
     g = 1.0 - alpha_eff

@@ -173,7 +173,9 @@ def test_golden_render_stats():
                     background=jnp.array([0.25, 0.5, 0.75]), config=CFG)
     img = np.asarray(out["comp_rgb"])
     m = np.asarray(out["comp_mask"])
-    assert int(out["n_pairs"]) == 544
+    # 544 rect pairs; the exact opacity cull (alpha can never reach 1/255 in
+    # the dropped rect-corner tiles) trims 36 — image stats below unchanged.
+    assert int(out["n_pairs"]) == 508
     np.testing.assert_allclose(img.mean(), 0.49906647, atol=1e-5)
     np.testing.assert_allclose(img.std(), 0.19043249, atol=1e-5)
     np.testing.assert_allclose(m.mean(), 0.17798567, atol=1e-5)
@@ -331,3 +333,60 @@ def test_multiview_band_isolation():
     # view 0 renders something at the bottom; view 1 must stay empty
     assert float(out["comp_mask"][0].max()) > 0.1
     np.testing.assert_allclose(np.asarray(out["comp_mask"][1]), 0.0, atol=1e-6)
+
+
+def test_opacity_cull_is_exact_and_reduces_pairs():
+    """The opacity-aware tile cull (ops/common.opacity_cull_r2) must change
+    NOTHING about outputs or gradients — it only drops (gaussian, tile) pairs
+    that can never clear the alpha >= 1/255 acceptance gate — while reducing
+    n_pairs on a translucent scene."""
+    hw = 96
+    cam = make_camera(hw, hw)
+    g = make_gaussians(384, seed=11, opacity_range=(0.05, 0.6),
+                       scale_range=(0.02, 0.1))
+    bg = jnp.array([0.1, 0.0, 0.2])
+    cfg_on = functools.partial(RasterizeConfig, interpret=True,
+                               max_tiles_per_gaussian=16)
+    tgt = jnp.asarray(np.random.RandomState(1).uniform(0, 1, (hw, hw, 3)),
+                      jnp.float32)
+
+    def run(cull):
+        def loss(xyz, opacity):
+            gg = g.__class__(xyz=xyz, opacity=opacity, rotation=g.rotation,
+                             scaling=g.scaling, shs=g.shs)
+            out = rasterize(gg, cam, height=hw, width=hw, background=bg,
+                            use_rgb=True, config=cfg_on(opacity_cull=cull))
+            return (jnp.abs(out["comp_rgb"] - tgt).mean()
+                    + (out["comp_mask"] ** 2).mean())
+
+        out = rasterize(g, cam, height=hw, width=hw, background=bg,
+                        use_rgb=True, config=cfg_on(opacity_cull=cull))
+        grads = jax.grad(loss, argnums=(0, 1))(g.xyz, g.opacity)
+        return out, grads
+
+    out_on, grads_on = run(True)
+    out_off, grads_off = run(False)
+    assert int(out_on["overflow"]) == 0 and int(out_off["overflow"]) == 0
+    # the cull must actually fire on this translucent scene
+    assert int(out_on["n_pairs"]) < int(out_off["n_pairs"]), (
+        int(out_on["n_pairs"]), int(out_off["n_pairs"]))
+    # Culling removes only zero-alpha slots, but their disappearance shifts
+    # lane positions in the kernel's prefix-product tree — a different (still
+    # exact-factor) association order, so equality holds to ~1 ulp, not bit.
+    np.testing.assert_allclose(np.asarray(out_on["comp_rgb"]),
+                               np.asarray(out_off["comp_rgb"]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_on["final_t"]),
+                               np.asarray(out_off["final_t"]), atol=1e-6)
+    for a, b in zip(grads_on, grads_off):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(a, b, atol=1e-6 + 1e-5 * np.abs(b).max())
+
+    # oracle with the cull == oracle without (same gate, tile granularity)
+    img_c, alpha_c, t_c = _oracle_render(g, cam, hw, hw, bg)
+    proj = project_gaussians(g.xyz, g.scaling, g.rotation, cam)
+    img_n, alpha_n, t_n = composite_reference(
+        proj.mean2d, proj.conic, g.shs[:, 0, :],
+        g.effective_opacity()[:, 0], proj.depth, proj.radius, proj.visible,
+        hw, hw, bg, CFG.tile_size, opacity_cull=False)
+    np.testing.assert_array_equal(np.asarray(img_c), np.asarray(img_n))
+    np.testing.assert_array_equal(np.asarray(t_c), np.asarray(t_n))
