@@ -48,6 +48,15 @@ from guassianhand_tpu.ops.common import ALPHA_MIN, ALPHA_MAX, T_EPS
 
 NEG_CLAMP = -30.0  # exp(-30) == 0 in fp32's useful range; masks garbage slots
 
+# Precision of the backward's suffix-sum matmul (P x G x G — the dominant
+# MXU cost; the 3xG matmuls stay HIGHEST). "highest" = 6-pass exact fp32;
+# "high" = 3-pass bf16x3 (~2^-22 relative — at the suffix's benign magnitude
+# range this is fp32-rounding-class noise). Env knob for A/B measurement.
+import os as _os
+_SUFFIX_PRECISION = {"high": jax.lax.Precision.HIGH,
+                     "highest": jax.lax.Precision.HIGHEST}[
+                         _os.environ.get("GH_SUFFIX_PREC", "highest")]
+
 # attr rows: 0:x 1:y 2:conicA 3:conicB 4:conicC 5:r 6:g 7:b 8:opacity
 ATTR_ROWS = 16
 # grad rows: 0:dx 1:dy 2:dA 3:dB 4:dC 5:dr 6:dg 7:db 8:dopacity
@@ -71,11 +80,12 @@ def _pixel_coords(t, ntx: int, tile_size: int, p: int):
     return px, py
 
 
-def _block_alpha(attr, px, py, base, cnt, g: int):
+def _block_alpha(attr, px, py, base, cnt, g: int, lane=None):
     """Masked alpha + helpers for one (P pixels x G pairs) block.
 
     Returns (alpha, alpha_raw, exp_power, dx, dy, conics) with masked slots at
-    exactly alpha == 0.
+    exactly alpha == 0. ``lane``: optional precomputed (1, G) lane iota
+    (loop-invariant; callers hoist it out of their block loops).
     """
     xg = attr[0:1, :]
     yg = attr[1:2, :]
@@ -88,7 +98,9 @@ def _block_alpha(attr, px, py, base, cnt, g: int):
     dy = yg - py
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
 
-    slot = base + jax.lax.broadcasted_iota(jnp.int32, (1, g), 1)
+    if lane is None:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, g), 1)
+    slot = base + lane
     valid = slot < cnt
     pmask = valid & (power <= 0.0)
     power_c = jnp.where(pmask, power, NEG_CLAMP)
@@ -99,7 +111,23 @@ def _block_alpha(attr, px, py, base, cnt, g: int):
     return alpha, alpha_raw, exp_power, dx, dy, (ca, cb, cc)
 
 
-def _prefix_products(g1, g: int):
+def _scan_masks(g: int):
+    """Loop-invariant (1, G) lane masks for _prefix_products: one per scan
+    step plus the final exclusive shift. Hoisted OUT of the per-block loop by
+    the callers (kernel bodies build them once before their fori_loop) — the
+    iota + compare per step otherwise re-runs for every pair block (~14 VPU
+    ops/block of pure recomputation). Also returns the raw lane iota for
+    _block_alpha's slot-validity test."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, g), 1)
+    masks = []
+    s = 1
+    while s < g:
+        masks.append(lane >= s)
+        s *= 2
+    return masks, lane >= 1, lane
+
+
+def _prefix_products(g1, g: int, masks):
     """Exclusive/inclusive prefix products along the lane axis.
 
     Hillis-Steele tree scan via masked cyclic lane rolls: exact fp32 multiply
@@ -107,26 +135,31 @@ def _prefix_products(g1, g: int):
     The earlier exp(cumsum(log)) formulation — a triangular MXU matmul —
     drifted ~1e-3 against the oracle on TPU, whose exp/log are approximate;
     this is both exact and cheaper (log2(G) VPU ops vs a G^2 matmul).
-    """
-    lane = jax.lax.broadcasted_iota(jnp.int32, g1.shape, 1)
+    ``masks`` comes from _scan_masks (precomputed lane predicates)."""
+    step_masks, excl_mask, _ = masks
     x = g1
     s = 1
+    i = 0
     while s < g:
-        x = x * jnp.where(lane >= s, pltpu.roll(x, s, axis=1), 1.0)
+        x = x * jnp.where(step_masks[i], pltpu.roll(x, s, axis=1), 1.0)
         s *= 2
-    excl = jnp.where(lane >= 1, pltpu.roll(x, 1, axis=1), 1.0)
+        i += 1
+    excl = jnp.where(excl_mask, pltpu.roll(x, 1, axis=1), 1.0)
     return excl, x
 
 
-def _forward_block(attr, px, py, base, cnt, tc, g: int):
+def _forward_block(attr, px, py, base, cnt, tc, g: int, masks):
     """One composite block: returns (color_contrib (3, P), t_new (P, 1),
     cpexc (P, G) — the per-pair incoming transmittance, streamed out for the
     backward so it never re-runs the prefix-product scan)."""
-    alpha, _, _, _, _, _ = _block_alpha(attr, px, py, base, cnt, g)
-    excl, incl = _prefix_products(1.0 - alpha, g)  # masked slots: alpha == 0
+    alpha, _, _, _, _, _ = _block_alpha(attr, px, py, base, cnt, g,
+                                        lane=masks[2])
+    # masked slots: alpha == 0
+    excl, incl = _prefix_products(1.0 - alpha, g, masks)
     cpexc = tc * excl
     cpincl = tc * incl
-    acc = (cpincl >= T_EPS).astype(jnp.float32)
+    accb = cpincl >= T_EPS
+    acc = accb.astype(jnp.float32)
     w = alpha * cpexc * acc  # (P, G)
     cattr = attr[5:8, :]
     # precision=HIGHEST: TPU fp32 dot defaults to bf16-truncated passes
@@ -136,7 +169,7 @@ def _forward_block(attr, px, py, base, cnt, tc, g: int):
         precision=jax.lax.Precision.HIGHEST)
     # cpincl is non-increasing, so min over accepted == T after the last
     # accepted pair; exact because cpincl is an exact product chain.
-    t_new = jnp.min(jnp.where(acc > 0, cpincl, tc), axis=1, keepdims=True)
+    t_new = jnp.min(jnp.where(accb, cpincl, tc), axis=1, keepdims=True)
     return contrib, t_new, cpexc
 
 
@@ -184,6 +217,8 @@ def _fwd_kernel(boff_ref, cnt_ref, srcb_ref, attr_hbm, out_hbm, tchk_hbm,
     def _():
         dma_attr(0, 0).start()
 
+    masks = _scan_masks(g)
+
     def tile_body(t, _):
         c0 = boff_ref[t]
         nb = boff_ref[t + 1] - c0
@@ -220,7 +255,8 @@ def _fwd_kernel(boff_ref, cnt_ref, srcb_ref, attr_hbm, out_hbm, tchk_hbm,
             # the 512^2 bench — Mosaic branches around vector code spill the
             # loop carries and pay for both branches; do NOT reintroduce it.
             contrib, t_new, cpexc = _forward_block(attr_window(cur, blk), px,
-                                                   py, b * g, cnt, tc, g)
+                                                   py, b * g, cnt, tc, g,
+                                                   masks)
             if store_cpx:
                 cslot = blk % 2
 
@@ -402,6 +438,7 @@ def _bwd_kernel(boff_ref, cnt_ref, tob_ref, bob_ref, srcb_ref, cpxb_ref,
     ut = (jax.lax.broadcasted_iota(jnp.int32, (g, g), 0)
           > jax.lax.broadcasted_iota(jnp.int32, (g, g), 1)
           ).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, g), 1)
 
     def body(k, carry):
         r_carry, gslot_prev = carry
@@ -437,7 +474,7 @@ def _bwd_kernel(boff_ref, cnt_ref, tob_ref, bob_ref, srcb_ref, cpxb_ref,
 
         px, py = _pixel_coords(t, ntx, tile_size, p)
         alpha, alpha_raw, exp_power, dx, dy, (ca, cb, cc) = _block_alpha(
-            attr, px, py, base, cnt, g)
+            attr, px, py, base, cnt, g, lane=lane)
         dma_cpx(cur, b).wait()
         # Streamed from the forward: cpexc is exact (identical product
         # chain); cpincl re-derives as cpexc*(1-alpha) — a few-ulp
@@ -459,7 +496,7 @@ def _bwd_kernel(boff_ref, cnt_ref, tob_ref, bob_ref, srcb_ref, cpxb_ref,
         suffix = jax.lax.dot_general(
             we, ut, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)  # (P, G)
+            precision=_SUFFIX_PRECISION)  # (P, G)
         r_i = suffix + r_in
         g_div = 1.0 - alpha
         live = acc * (alpha > 0.0).astype(jnp.float32)
