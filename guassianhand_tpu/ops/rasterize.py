@@ -90,13 +90,20 @@ def _sorted_attr_table(mean2d, conic, color, opacity, tile_flat, depth, m, g):
 
     depth_b = bc(jax.lax.stop_gradient(depth))
     gidx_f = bc(jnp.arange(n, dtype=jnp.float32))
+    # is_stable: ties are (tile, depth) collisions — distinct gaussians with
+    # bit-equal fp32 depth in the same tile, measure-zero in practice; the
+    # CUDA reference's radix sort is stable, so stable is the parity default.
+    # GH_SORT_STABLE=0 is a perf A/B knob (any tie order is still a valid
+    # compositing order).
+    import os as _os
     ops = jax.lax.sort(
         (tile_flat, depth_b,
          bc(mean2d[:, 0]), bc(mean2d[:, 1]),
          bc(conic[:, 0]), bc(conic[:, 1]), bc(conic[:, 2]),
          bc(color[:, 0]), bc(color[:, 1]), bc(color[:, 2]),
          bc(opacity), gidx_f),
-        num_keys=2, is_stable=True)
+        num_keys=2,
+        is_stable=_os.environ.get("GH_SORT_STABLE", "1") != "0")
     tile_s = ops[0]
     attr_sorted = jnp.stack(ops[2:], axis=0)  # (10, NM)
     pad = (-nm) % g + 2 * g
