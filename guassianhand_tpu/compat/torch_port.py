@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, List, Tuple
 
+import jax
 import numpy as np
 
 
@@ -401,6 +402,35 @@ def port_reference_checkpoint(state_dict: Dict[str, Any],
 
     unmapped = sorted(set(dict.keys(sd)) - used)
     return params, unmapped
+
+
+def stack_transformer_blocks(tree: Dict[str, Any]) -> Dict[str, Any]:
+    """Convert unrolled Transformer1D params (block_0..block_{L-1}) to the
+    nn.scan layout (a single "blocks" subtree with a stacked leading axis).
+
+    Use after port_reference_checkpoint when the target model runs
+    ``Transformer1D(scan=True)``. Only transformer blocks are converted
+    (identified by their "attn1" submodule) — pointnet ResNet ``block_i``
+    subtrees are left untouched. Pure tree transform; values unchanged.
+    """
+    def is_tblock(v):
+        return isinstance(v, dict) and "attn1" in v
+
+    def rec(node):
+        if not isinstance(node, dict):
+            return node
+        tblocks = sorted((k for k in node
+                          if k.startswith("block_") and is_tblock(node[k])),
+                         key=lambda k: int(k.split("_")[1]))
+        out = {k: rec(v) for k, v in node.items() if k not in tblocks}
+        if tblocks:
+            stacked = jax.tree.map(
+                lambda *xs: np.stack([np.asarray(x) for x in xs]),
+                *[node[k] for k in tblocks])
+            out["blocks"] = stacked
+        return out
+
+    return rec(tree)
 
 
 def merge_ported(params_init: Dict[str, Any], ported: Dict[str, Any]):

@@ -69,6 +69,10 @@ class OneShotConfig:
     interaction_threshold: int = 10
     attn_dropout: float = 0.1        # self_attn.py:52-56 (train-mode only)
     identity_infer_tokens: int = 256  # IdentityCodeInfer token count
+    backbone_scan: bool = False       # lax.scan over transformer blocks:
+    # identical math, several-fold faster XLA compile of the full model
+    # (params under backbone/blocks, stacked; see
+    # compat.torch_port.stack_transformer_blocks for ported weights)
     renderer: RendererConfig = RendererConfig()
 
 
@@ -95,10 +99,10 @@ class OneShotAvatarModel(nn.Module):
             n_plane=c.n_plane)
         self.backbone = Transformer1D(
             num_layers=c.backbone_layers, heads=c.backbone_heads,
-            head_dim=c.backbone_head_dim)
+            head_dim=c.backbone_head_dim, scan=c.backbone_scan)
         self.backbone_shade = Transformer1D(
             num_layers=c.backbone_layers, heads=c.backbone_heads,
-            head_dim=c.backbone_head_dim)
+            head_dim=c.backbone_head_dim, scan=c.backbone_scan)
         self.post_processor_texture = TriplaneUpsampler(
             out_channels=c.scene_code_channels)
         self.additional_features_fc = AdditionalFeaturesFC(

@@ -87,8 +87,7 @@ class TransformerBlock(nn.Module):
             return AdaLayerNormContinuous(name=name)(x, cond)
         return nn.LayerNorm(name=name)(x)
 
-    @nn.compact
-    def __call__(self, x, cond=None, context=None):
+    def _body(self, x, cond, context):
         h = self._norm(x, cond, "norm1")
         x = x + Attention(self.heads, self.head_dim, name="attn1")(h)
         h = self._norm(x, cond, "norm2")
@@ -96,6 +95,19 @@ class TransformerBlock(nn.Module):
         h = self._norm(x, cond, "norm3")
         x = x + FeedForward(name="ff")(h)
         return x
+
+    @nn.compact
+    def __call__(self, x, cond=None, context=None):
+        return self._body(x, cond, context)
+
+
+class _ScanTransformerBlock(TransformerBlock):
+    """lax.scan-compatible signature: (carry, (cond, context)) -> (carry, None)."""
+
+    @nn.compact
+    def __call__(self, x, xs):
+        cond, context = xs
+        return self._body(x, cond, context), None
 
 
 class Transformer1D(nn.Module):
@@ -108,6 +120,12 @@ class Transformer1D(nn.Module):
     # of the reference's enable_gradient_checkpointing /
     # snowflake/attention.py checkpointed MHA — trades FLOPs for HBM by
     # rematerializing block activations in the backward pass.
+    scan: bool = False    # lax.scan over the block stack: ONE traced/compiled
+    # block body instead of num_layers unrolled copies — cuts XLA compile
+    # time of the full model several-fold. Params live under "blocks" with a
+    # stacked leading axis; compat.torch_port.stack_transformer_blocks
+    # converts an unrolled block_{i} tree (and ported reference weights) to
+    # this layout. Identical math per layer.
 
     @nn.compact
     def __call__(self, tokens, modulation_cond=None, context=None):
@@ -119,11 +137,25 @@ class Transformer1D(nn.Module):
         )  # flax GroupNorm normalizes the last dim; tokens -> (B, N, C)
         inner = self.heads * self.head_dim
         h = nn.Dense(inner)(h)
-        block_cls = (nn.remat(TransformerBlock, static_argnums=())
-                     if self.remat else TransformerBlock)
-        for i in range(self.num_layers):
-            h = block_cls(
-                self.heads, self.head_dim, self.modulation_dim,
-                name=f"block_{i}")(h, cond=modulation_cond, context=context)
+        if self.scan:
+            block_cls = _ScanTransformerBlock
+            if self.remat:
+                block_cls = nn.remat(block_cls, static_argnums=())
+            blocks = nn.scan(
+                block_cls,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=self.num_layers,
+                in_axes=(nn.broadcast,),
+            )(self.heads, self.head_dim, self.modulation_dim, name="blocks")
+            h, _ = blocks(h, (modulation_cond, context))
+        else:
+            block_cls = (nn.remat(TransformerBlock, static_argnums=())
+                         if self.remat else TransformerBlock)
+            for i in range(self.num_layers):
+                h = block_cls(
+                    self.heads, self.head_dim, self.modulation_dim,
+                    name=f"block_{i}")(h, cond=modulation_cond,
+                                       context=context)
         h = nn.Dense(c)(h)
         return h.transpose(0, 2, 1) + residual

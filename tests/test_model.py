@@ -165,3 +165,48 @@ def test_dropout_and_identity_infer():
     b = model.apply(p2, batch, 32, 32, infer_identity=True)
     assert not np.allclose(np.asarray(a["comp_rgb"]),
                            np.asarray(b["comp_rgb"]))
+
+
+def test_transformer_scan_matches_unrolled():
+    """Transformer1D(scan=True) must compute exactly what the unrolled stack
+    computes when fed the stacked copy of the unrolled params
+    (compat.torch_port.stack_transformer_blocks)."""
+    from guassianhand_tpu.nn.transformer import Transformer1D
+    from guassianhand_tpu.compat.torch_port import stack_transformer_blocks
+
+    tokens = jnp.asarray(
+        np.random.RandomState(0).normal(size=(2, 48, 40)).astype(np.float32))
+    unrolled = Transformer1D(num_layers=3, heads=2, head_dim=16,
+                             norm_groups=8)
+    p = unrolled.init(jax.random.PRNGKey(1), tokens)
+    out_u = unrolled.apply(p, tokens)
+
+    p_s = {"params": stack_transformer_blocks(p["params"])}
+    scanned = Transformer1D(num_layers=3, heads=2, head_dim=16, norm_groups=8,
+                            scan=True)
+    # shapes must line up with a fresh scan init (guards the layout contract)
+    ref = jax.eval_shape(lambda: scanned.init(jax.random.PRNGKey(2), tokens))
+    assert (jax.tree.map(lambda a: a.shape, ref)
+            == jax.tree.map(lambda a: np.shape(a), p_s))
+    out_s = scanned.apply(p_s, tokens)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_u),
+                               atol=2e-5, rtol=1e-5)
+
+    # remat composes with scan (same value again)
+    scanned_r = Transformer1D(num_layers=3, heads=2, head_dim=16,
+                              norm_groups=8, scan=True, remat=True)
+    out_r = scanned_r.apply(p_s, tokens)
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(out_s), atol=1e-6)
+
+
+def test_one_shot_model_backbone_scan(scene):
+    """The full model runs with backbone_scan=True and produces the same
+    output structure; params carry the stacked 'blocks' subtree."""
+    import dataclasses as _dc
+    batch = synthetic_batch(scene, seed=0, raster=RASTER)
+    cfg = _dc.replace(TINY, backbone_scan=True)
+    model = OneShotAvatarModel(cfg=cfg)
+    params = model.init(jax.random.PRNGKey(0), batch, HW, HW)
+    assert "blocks" in params["params"]["backbone"]
+    out = model.apply(params, batch, HW, HW)
+    assert np.isfinite(np.asarray(out["comp_rgb"])).all()
