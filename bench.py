@@ -105,6 +105,7 @@ def main():
         "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 4),
         "n_pairs": n_pairs,
         "overflow": overflow,
+        "step_ms": round(1e3 * dt / n_iters, 2),
     }))
 
 

@@ -66,4 +66,6 @@ def make_sharded_fit_step(model_apply: Callable, optimizer,
         step,
         in_shardings=(repl, repl, None),   # batch keeps its placed shardings
         out_shardings=(repl, repl, repl, repl),
+        # in-place params/opt_state update (shardings match in/out)
+        donate_argnums=(0, 1),
     )

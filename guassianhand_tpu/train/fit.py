@@ -14,6 +14,7 @@ Counterpart of the reference's Lightning fit (infer_one_shot.py:314-524):
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Any, Callable, Dict, Optional, Tuple
 
@@ -81,6 +82,11 @@ def make_fit_step(model_apply: Callable, vgg_loss_fn: Optional[Callable],
     model_apply(params, batch) must return a dict with comp_rgb (B,V,H,W,3)
     and comp_mask (B,V,H,W); the batch supplies target_rgb (B,H,W,3) and
     target_mask (B,H,W) for the input view (V=1 during fitting).
+
+    The returned step DONATES params and opt_state (in-place HBM update of
+    the model + Adam moments): rebind them from the step's outputs each
+    iteration (as fit() does) — reusing the old references raises
+    "Array has been deleted".
     """
 
     def loss_fn(params, batch):
@@ -97,7 +103,10 @@ def make_fit_step(model_apply: Callable, vgg_loss_fn: Optional[Callable],
         err["reg"] = reg
         return total + reg, err
 
-    @jax.jit
+    # donate params/opt_state: they are consumed and returned updated each
+    # step, so XLA can update them in place instead of double-buffering the
+    # full model + Adam moments in HBM.
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch):
         (loss, err), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch)

@@ -31,6 +31,16 @@ run() {
   echo "[ab] $label wall $((SECONDS - t0))s" >> "$LOG" 2>/dev/null || true
 }
 
+# Compiled-mode parity FIRST (3 legs) — kernel changes must re-prove
+# compiled==interpret before any throughput number is trusted.
+echo "[ab] tpu_parity..." | tee -a "$LOG"
+if timeout 1800 python -u scripts/tpu_parity.py >> "$LOG" 2>&1; then
+  echo "[ab] tpu_parity GREEN" | tee -a "$LOG"
+else
+  echo "[ab] tpu_parity FAILED (see log) — aborting bench matrix" | tee -a "$LOG"
+  exit 1
+fi
+
 run base
 run suffix_high GH_SUFFIX_PREC=high
 run unstable GH_SORT_STABLE=0

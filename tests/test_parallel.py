@@ -40,9 +40,10 @@ def test_sharded_step_matches_unsharded():
     def model_apply(p, b):
         return model.apply(p, b, HW, HW)
 
-    # unsharded reference step
+    # unsharded reference step (on copies: fit steps donate params/opt_state)
     ref_step = make_fit_step(model_apply, None, optimizer, fit_cfg)
-    p_ref, _, loss_ref, _ = ref_step(params, opt_state, batch)
+    p_ref, _, loss_ref, _ = ref_step(jax.tree.map(jnp.copy, params),
+                                     jax.tree.map(jnp.copy, opt_state), batch)
 
     mesh = make_mesh(n_data=2)
     with mesh:
