@@ -64,7 +64,11 @@ def main():
         return (jnp.abs(out["comp_rgb"] - tgt).mean()
                 + (out["comp_mask"] ** 2).mean())
 
-    step = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4)))
+    # GH_BENCH_FWD=1: time the forward render alone (no grad) — diagnostic
+    # for attributing step time between the kernels' fwd and bwd halves.
+    fwd_only = os.environ.get("GH_BENCH_FWD", "0") == "1"
+    step = jax.jit(loss_fn if fwd_only
+                   else jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4)))
     args = (gs.xyz, gs.scaling, gs.rotation, gs.opacity, gs.shs)
 
     # The throughput claim is only honest if no (gaussian, tile) pairs were
@@ -99,7 +103,9 @@ def main():
 
     rays_per_s = hw * hw * n_iters / dt
     print(json.dumps({
-        "metric": "rays/s/chip fwd+bwd splatting 512^2 (49k gaussians)",
+        "metric": ("rays/s/chip fwd-only splatting 512^2 (49k gaussians)"
+                   if fwd_only else
+                   "rays/s/chip fwd+bwd splatting 512^2 (49k gaussians)"),
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 4),
