@@ -46,6 +46,7 @@ from guassianhand_tpu.ops import binning as binning_lib
 # `ops/__init__` re-exports the rasterize FUNCTION under the module's name,
 # so a plain `import ...ops.rasterize as m` resolves to the function.
 raster_lib = importlib.import_module("guassianhand_tpu.ops.rasterize")
+from guassianhand_tpu.ops import common
 from guassianhand_tpu.ops.common import tile_rect
 from guassianhand_tpu.ops.projection import project_gaussians
 from guassianhand_tpu.ops.rasterize import RasterizeConfig
@@ -113,7 +114,15 @@ def sharded_rasterize(gaussians: Gaussians, camera: Camera, *, height: int,
         tx = jnp.stack(txs, axis=1)
         ty = jnp.stack(tys, axis=1)
         mm = jnp.arange(m, dtype=jnp.int32)
-        pair_valid = (mm[None, :] < need_cap[:, None]).reshape(-1)
+        pair_valid = mm[None, :] < need_cap[:, None]
+        if config.opacity_cull:
+            # Same exact opacity-aware tile cull as ops/binning.enumerate_tiles
+            # — fewer pairs cross the all_to_all (identical outputs/grads).
+            r2 = common.opacity_cull_r2(proj.radius, opacity)
+            d2 = common.tile_min_dist2(proj.mean2d[:, 0:1], proj.mean2d[:, 1:2],
+                                       tx, ty, ts)
+            pair_valid = pair_valid & (d2 <= r2[:, None])
+        pair_valid = pair_valid.reshape(-1)
         tile_flat = jnp.where(
             pair_valid, (ty * ntx + tx).reshape(-1), nty * ntx
         ).astype(jnp.int32)
