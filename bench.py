@@ -54,7 +54,8 @@ def main():
         max_tiles_per_gaussian=int(os.environ.get("GH_BENCH_M", "9")),
         pairs_per_gaussian=float(os.environ.get("GH_BENCH_BUDGET", "3.0")),
         block_size=int(os.environ.get("GH_BENCH_BLOCK", "128")),
-        tile_size=int(os.environ.get("GH_BENCH_TILE", "16")))
+        tile_size=int(os.environ.get("GH_BENCH_TILE", "16")),
+        sort_stable=os.environ.get("GH_SORT_STABLE", "1") != "0")
     tgt = jnp.asarray(rng.uniform(0, 1, (hw, hw, 3)).astype(np.float32))
 
     def loss_fn(xyz, scaling, rotation, opacity, shs):
@@ -108,7 +109,10 @@ def main():
                    "rays/s/chip fwd+bwd splatting 512^2 (49k gaussians)"),
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
-        "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 4),
+        # the baseline constant is a fwd+bwd figure — a fwd-only ratio
+        # against it would be a non-comparable, inflated claim
+        "vs_baseline": (None if fwd_only
+                        else round(rays_per_s / BASELINE_RAYS_PER_S, 4)),
         "n_pairs": n_pairs,
         "overflow": overflow,
         "step_ms": round(1e3 * dt / n_iters, 2),

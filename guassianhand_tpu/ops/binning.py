@@ -27,8 +27,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from guassianhand_tpu.ops.common import (opacity_cull_r2, tile_min_dist2,
-                                          tile_rect)
+from guassianhand_tpu.ops.common import opacity_cull_keep, tile_rect
 
 
 @dataclasses.dataclass(frozen=True)
@@ -133,11 +132,16 @@ def enumerate_tiles(
     mm = jnp.arange(m, dtype=jnp.int32)
     valid = mm[None, :] < need_cap[:, None]
     if opacity is not None:
-        r2 = opacity_cull_r2(radius, opacity)              # (N,)
-        d2 = tile_min_dist2(mean2d[:, 0:1], mean2d[:, 1:2], tx, ty,
-                            cfg.tile_size)                 # (N, M)
-        valid = valid & (d2 <= r2[:, None])
+        valid = valid & opacity_cull_keep(
+            mean2d[:, 0:1], mean2d[:, 1:2], radius[:, None], opacity[:, None],
+            tx, ty, cfg.tile_size)                         # (N, M)
     tile_id = jnp.where(valid, ty * ntx + tx, num_tiles).astype(jnp.int32)
+    # Pre-cull rect accounting: rect tiles beyond the m-slot window are never
+    # materialized, so the cull cannot be applied to them — overflow_enum is
+    # an UPPER bound on lost work when opacity culling is active (a tile
+    # counted here might have been culled anyway). Conservative direction:
+    # the bench's overflow==0 honesty gate can only fail early, never pass
+    # while silently dropping work.
     overflow_enum = jnp.sum(jnp.maximum(need - m, 0))
     return tile_id.reshape(-1), overflow_enum
 

@@ -56,6 +56,16 @@ def tile_min_dist2(mx, my, tx, ty, tile_size: int):
     return dx * dx + dy * dy
 
 
+def opacity_cull_keep(mx, my, radius, opacity, tx, ty, tile_size: int):
+    """THE opacity-cull decision, shared by every site that makes it (binner,
+    sharded-rasterizer enumeration, reference oracle) so the three stay
+    bit-identical by construction: keep (gaussian, tile) iff the tile's min
+    pixel distance from the center does not exceed the provable sub-1/255
+    radius. All arguments broadcast (callers orient their axes)."""
+    return (tile_min_dist2(mx, my, tx, ty, tile_size)
+            <= opacity_cull_r2(radius, opacity))
+
+
 def straight_through_alpha(alpha_raw: jax.Array) -> jax.Array:
     """min(ALPHA_MAX, alpha) in value, identity in gradient (CUDA parity)."""
     clipped = jnp.minimum(alpha_raw, ALPHA_MAX)

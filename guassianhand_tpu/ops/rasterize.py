@@ -53,6 +53,11 @@ class RasterizeConfig:
     # Gaussian can never clear the alpha >= 1/255 acceptance gate in
     # (ops/common.opacity_cull_r2 — the oracle applies the identical rule).
     opacity_cull: bool = True
+    # Stability of the (tile, depth) pair sort. Ties are bit-equal fp32 depth
+    # collisions within a tile (measure-zero in practice); the CUDA
+    # reference's radix sort is stable, so stable is the parity default. A
+    # config field (not an env read) so it participates in the jit cache key.
+    sort_stable: bool = True
     scale_modifier: float = 1.0
     znear: float = 0.01
     zfar: float = 1000.0
@@ -68,7 +73,8 @@ class RasterizeConfig:
         )
 
 
-def _sorted_attr_table(mean2d, conic, color, opacity, tile_flat, depth, m, g):
+def _sorted_attr_table(mean2d, conic, color, opacity, tile_flat, depth, m, g,
+                       stable=True):
     """Depth-sort the (N, M) pair enumeration WITH the attrs riding the sort.
 
     Returns (tile_s (NM,), attr_sorted (16, NMpad)) where attr rows are
@@ -90,20 +96,13 @@ def _sorted_attr_table(mean2d, conic, color, opacity, tile_flat, depth, m, g):
 
     depth_b = bc(jax.lax.stop_gradient(depth))
     gidx_f = bc(jnp.arange(n, dtype=jnp.float32))
-    # is_stable: ties are (tile, depth) collisions — distinct gaussians with
-    # bit-equal fp32 depth in the same tile, measure-zero in practice; the
-    # CUDA reference's radix sort is stable, so stable is the parity default.
-    # GH_SORT_STABLE=0 is a perf A/B knob (any tie order is still a valid
-    # compositing order).
-    import os as _os
     ops = jax.lax.sort(
         (tile_flat, depth_b,
          bc(mean2d[:, 0]), bc(mean2d[:, 1]),
          bc(conic[:, 0]), bc(conic[:, 1]), bc(conic[:, 2]),
          bc(color[:, 0]), bc(color[:, 1]), bc(color[:, 2]),
          bc(opacity), gidx_f),
-        num_keys=2,
-        is_stable=_os.environ.get("GH_SORT_STABLE", "1") != "0")
+        num_keys=2, is_stable=stable)
     tile_s = ops[0]
     attr_sorted = jnp.stack(ops[2:], axis=0)  # (10, NM)
     pad = (-nm) % g + 2 * g
@@ -174,7 +173,8 @@ def _composite_impl(mean2d, conic, color, opacity, tile_flat, depth,
     _, _, total_blocks = binning_lib.static_sizes(n, height, width, bcfg)
 
     tile_s, attr_sorted = _sorted_attr_table(
-        mean2d, conic, color, opacity, tile_flat, depth, m, g)
+        mean2d, conic, color, opacity, tile_flat, depth, m, g,
+        stable=cfg.sort_stable)
     (_, counts, block_off, tile_of_block, base_of_block, src_base,
      overflow_cap, overflow_budget) = binning_lib.slab_layout(
         tile_s, num_tiles, total_blocks, bcfg)

@@ -54,8 +54,9 @@ NEG_CLAMP = -30.0  # exp(-30) == 0 in fp32's useful range; masks garbage slots
 # range this is fp32-rounding-class noise). Env knob for A/B measurement.
 import os as _os
 _SUFFIX_PRECISION = {"high": jax.lax.Precision.HIGH,
-                     "highest": jax.lax.Precision.HIGHEST}[
-                         _os.environ.get("GH_SUFFIX_PREC", "highest")]
+                     "highest": jax.lax.Precision.HIGHEST}.get(
+                         _os.environ.get("GH_SUFFIX_PREC", "highest").lower(),
+                         jax.lax.Precision.HIGHEST)
 
 # attr rows: 0:x 1:y 2:conicA 3:conicB 4:conicC 5:r 6:g 7:b 8:opacity
 ATTR_ROWS = 16

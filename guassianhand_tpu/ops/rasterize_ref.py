@@ -15,9 +15,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from guassianhand_tpu.ops.common import (ALPHA_MIN, T_EPS, opacity_cull_r2,
-                                         straight_through_alpha,
-                                         tile_min_dist2, tile_rect)
+from guassianhand_tpu.ops.common import (ALPHA_MIN, T_EPS, opacity_cull_keep,
+                                         straight_through_alpha, tile_rect)
 
 
 def composite_reference(
@@ -70,13 +69,12 @@ def composite_reference(
     keep = (visible[None, :] & in_tile & (power <= 0.0)
             & (jax.lax.stop_gradient(alpha) >= ALPHA_MIN))
     if opacity_cull:
-        # Same exact tile-granularity opacity cull as the binner
-        # (ops/binning.enumerate_tiles): identical formula on identical
-        # values, so the two implementations make bit-identical decisions.
-        r2 = opacity_cull_r2(radius, opacity)
-        d2 = tile_min_dist2(mean2d[None, :, 0], mean2d[None, :, 1],
-                            ptx, pty, tile_size)  # (P, N)
-        keep = keep & jax.lax.stop_gradient(d2 <= r2[None, :])
+        # THE shared cull decision (ops/common.opacity_cull_keep) — same
+        # helper as the binner, so the two sites are bit-identical by
+        # construction.
+        keep = keep & jax.lax.stop_gradient(opacity_cull_keep(
+            mean2d[None, :, 0], mean2d[None, :, 1], radius[None, :],
+            opacity[None, :], ptx, pty, tile_size))  # (P, N)
     alpha_eff = alpha * keep.astype(alpha.dtype)
 
     g = 1.0 - alpha_eff

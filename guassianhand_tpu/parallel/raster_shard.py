@@ -116,12 +116,11 @@ def sharded_rasterize(gaussians: Gaussians, camera: Camera, *, height: int,
         mm = jnp.arange(m, dtype=jnp.int32)
         pair_valid = mm[None, :] < need_cap[:, None]
         if config.opacity_cull:
-            # Same exact opacity-aware tile cull as ops/binning.enumerate_tiles
-            # — fewer pairs cross the all_to_all (identical outputs/grads).
-            r2 = common.opacity_cull_r2(proj.radius, opacity)
-            d2 = common.tile_min_dist2(proj.mean2d[:, 0:1], proj.mean2d[:, 1:2],
-                                       tx, ty, ts)
-            pair_valid = pair_valid & (d2 <= r2[:, None])
+            # THE shared cull decision (ops/common.opacity_cull_keep) —
+            # fewer pairs cross the all_to_all (identical outputs/grads).
+            pair_valid = pair_valid & common.opacity_cull_keep(
+                proj.mean2d[:, 0:1], proj.mean2d[:, 1:2],
+                proj.radius[:, None], opacity[:, None], tx, ty, ts)
         pair_valid = pair_valid.reshape(-1)
         tile_flat = jnp.where(
             pair_valid, (ty * ntx + tx).reshape(-1), nty * ntx

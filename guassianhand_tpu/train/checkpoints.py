@@ -40,13 +40,58 @@ def load_checkpoint(path: str, template: Any):
     return ser.from_bytes(template, blob)
 
 
+def _adapt_transformer_layout(ck: Any, tmpl: Any) -> Any:
+    """Reconcile Transformer1D param layouts between a checkpoint tree and
+    the template: unrolled ``block_{i}`` subtrees <-> the nn.scan ``blocks``
+    stacked subtree (see nn/transformer.py). Without this, restoring a
+    pre-scan checkpoint into a ``backbone_scan=True`` model (or vice versa)
+    would silently keep every backbone leaf at its template value."""
+    import numpy as np
+
+    def is_tblock(v):
+        return isinstance(v, dict) and "attn1" in v
+
+    def rec(ck, tmpl):
+        if not (isinstance(ck, dict) and isinstance(tmpl, dict)):
+            return ck
+        ck_blocks = sorted(
+            (k for k in ck if k.startswith("block_") and is_tblock(ck[k])),
+            key=lambda k: int(k.split("_")[1]))
+        out = {}
+        if "blocks" in tmpl and ck_blocks and "blocks" not in ck:
+            out["blocks"] = jax.tree.map(
+                lambda *xs: np.stack([np.asarray(x) for x in xs]),
+                *[ck[k] for k in ck_blocks])
+            rest = {k: v for k, v in ck.items() if k not in ck_blocks}
+        elif ("blocks" in ck and "blocks" not in tmpl
+              and any(k.startswith("block_") and is_tblock(tmpl[k])
+                      for k in tmpl)):
+            stacked = ck["blocks"]
+            n = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+            for i in range(n):
+                out[f"block_{i}"] = jax.tree.map(
+                    lambda x, i=i: np.asarray(x)[i], stacked)
+            rest = {k: v for k, v in ck.items() if k != "blocks"}
+        else:
+            rest = ck
+        for k, v in rest.items():
+            out[k] = rec(v, tmpl.get(k)) if isinstance(tmpl, dict) else v
+        return out
+
+    return rec(ck, tmpl)
+
+
 def load_params_partial(path: str, params_template: Any,
-                        ignore_prefixes: Sequence[str] = ()) -> Any:
+                        ignore_prefixes: Sequence[str] = (),
+                        verbose: bool = True) -> Any:
     """strict=False-style restore: leaves present in the checkpoint replace
     the template; missing/ignored ones keep template values
-    (tgs/utils/misc.py:29-59 semantics)."""
+    (tgs/utils/misc.py:29-59 semantics). Transformer scan/unrolled layouts
+    are reconciled automatically; the restored/total leaf count is printed
+    so silent partial restores are visible."""
     state = ser.msgpack_restore(open(path, "rb").read())
     ck = state.get("params", state)
+    ck = _adapt_transformer_layout(ck, params_template)
 
     flat_t = jax.tree_util.tree_flatten_with_path(params_template)[0]
 
@@ -72,6 +117,9 @@ def load_params_partial(path: str, params_template: Any,
         names = "/".join(str(getattr(p, "key", p)) for p in path_t)
         return replaced.get(names, leaf)
 
+    if verbose:
+        print(f"load_params_partial: restored {len(replaced)}/{len(flat_t)} "
+              f"leaves from {path}")
     return jax.tree_util.tree_map_with_path(rebuild, out)
 
 

@@ -64,6 +64,9 @@ def test_trainable_mask_selects_identity_params(setup):
 
 def test_fit_step_reduces_loss(setup):
     model, params, batch = setup
+    # the fit step DONATES params/opt_state — work on copies so the
+    # module-scoped fixture stays alive for later tests
+    params = jax.tree.map(jnp.copy, params)
     cfg = FitConfig(lr=0.003, epochs=1, steps_per_epoch=6,
                     weights=LossWeights(vgg=0.0))
     optimizer = make_optimizer(params, cfg)

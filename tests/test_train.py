@@ -147,3 +147,45 @@ def test_save_video_fallback(tmp_path):
     out = save_video(str(tmp_path / "turntable.mp4"), frames, fps=10)
     assert os.path.exists(out)
     assert out.endswith((".mp4", ".gif"))
+
+
+def test_checkpoint_transformer_layout_adaptation(tmp_path):
+    """A checkpoint saved from an UNROLLED transformer restores into a
+    scan-layout template (and vice versa) — the layouts are reconciled
+    instead of silently keeping template values."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from guassianhand_tpu.nn.transformer import Transformer1D
+    from guassianhand_tpu.train import checkpoints as ck
+
+    tokens = jnp.ones((1, 24, 16))
+    unrolled = Transformer1D(num_layers=2, heads=2, head_dim=8, norm_groups=4)
+    scanned = Transformer1D(num_layers=2, heads=2, head_dim=8, norm_groups=4,
+                            scan=True)
+    p_u = unrolled.init(jax.random.PRNGKey(0), tokens)
+    p_s = scanned.init(jax.random.PRNGKey(1), tokens)
+
+    # unrolled ckpt -> scan template
+    path = str(tmp_path / "u.ckpt")
+    ck.save_checkpoint(path, p_u)
+    restored = ck.load_params_partial(path, p_s)
+    got = np.asarray(restored["params"]["blocks"]["attn1"]["Dense_0"]["kernel"])
+    want0 = np.asarray(p_u["params"]["block_0"]["attn1"]["Dense_0"]["kernel"])
+    want1 = np.asarray(p_u["params"]["block_1"]["attn1"]["Dense_0"]["kernel"])
+    np.testing.assert_array_equal(got[0], want0)
+    np.testing.assert_array_equal(got[1], want1)
+    # the two models now compute the same function
+    np.testing.assert_allclose(
+        np.asarray(scanned.apply(restored, tokens)),
+        np.asarray(unrolled.apply(p_u, tokens)), atol=2e-5, rtol=1e-5)
+
+    # scan ckpt -> unrolled template
+    path2 = str(tmp_path / "s.ckpt")
+    ck.save_checkpoint(path2, p_s)
+    restored2 = ck.load_params_partial(path2, p_u)
+    got2 = np.asarray(
+        restored2["params"]["block_1"]["attn1"]["Dense_0"]["kernel"])
+    np.testing.assert_array_equal(
+        got2,
+        np.asarray(p_s["params"]["blocks"]["attn1"]["Dense_0"]["kernel"])[1])
