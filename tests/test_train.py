@@ -189,3 +189,48 @@ def test_checkpoint_transformer_layout_adaptation(tmp_path):
     np.testing.assert_array_equal(
         got2,
         np.asarray(p_s["params"]["blocks"]["attn1"]["Dense_0"]["kernel"])[1])
+
+
+def test_ssim_matches_independent_numpy_reference():
+    """Cross-check our JAX SSIM against an independently-written numpy
+    implementation of the published formula (Wang et al.; skimage protocol:
+    uniform 7x7 window, reflect padding, sample-covariance normalization,
+    edge crop) — runs in environments without skimage."""
+    import numpy as np
+
+    def box(img, size):
+        pad = size // 2
+        x = np.pad(img, ((pad, pad), (pad, pad), (0, 0)), mode="symmetric")
+        c = np.cumsum(np.cumsum(x, axis=0, dtype=np.float64), axis=1)
+        c = np.pad(c, ((1, 0), (1, 0), (0, 0)))
+        h, w = img.shape[:2]
+        s = (c[size:size + h, size:size + w] - c[0:h, size:size + w]
+             - c[size:size + h, 0:w] + c[0:h, 0:w])
+        return s / size ** 2
+
+    def ref_ssim(a, b, data_range=1.0, size=7):
+        a = a.astype(np.float64)
+        b = b.astype(np.float64)
+        c1 = (0.01 * data_range) ** 2
+        c2 = (0.03 * data_range) ** 2
+        npx = size ** 2
+        cov_norm = npx / (npx - 1.0)
+        ux, uy = box(a, size), box(b, size)
+        vx = cov_norm * (box(a * a, size) - ux * ux)
+        vy = cov_norm * (box(b * b, size) - uy * uy)
+        vxy = cov_norm * (box(a * b, size) - ux * uy)
+        s = ((2 * ux * uy + c1) * (2 * vxy + c2)) / (
+            (ux ** 2 + uy ** 2 + c1) * (vx + vy + c2))
+        pad = (size - 1) // 2
+        return s[pad:-pad, pad:-pad].mean()
+
+    rng = np.random.RandomState(3)
+    a = rng.uniform(0, 1, (40, 40, 3)).astype(np.float32)
+    b = np.clip(a + 0.1 * rng.normal(size=a.shape), 0, 1).astype(np.float32)
+    ours = float(ssim(jnp.asarray(a), jnp.asarray(b)))
+    ref = float(ref_ssim(a, b))
+    assert abs(ours - ref) < 2e-3, (ours, ref)
+
+    # identical images -> exactly 1
+    np.testing.assert_allclose(float(ssim(jnp.asarray(a), jnp.asarray(a))),
+                               1.0, atol=1e-6)
