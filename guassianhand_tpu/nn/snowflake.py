@@ -233,7 +233,9 @@ class ResidualCrossAttn(nn.Module):
         o = jnp.einsum("hqk,khd->qhd", a, v).reshape(-1, self.dim)
         x = x + nn.Dense(self.dim, name="to_out")(o)
         ff = nn.Dense(self.dim * 4, name="ff1")(nn.LayerNorm(name="norm2")(x))
-        return x + nn.Dense(self.dim, name="ff2")(nn.gelu(ff))
+        # exact (erf) gelu: the reference's snowflake attention MLP uses
+        # torch nn.GELU() default (attention.py:75)
+        return x + nn.Dense(self.dim, name="ff2")(nn.gelu(ff, approximate=False))
 
 
 class SPDCrossAttn(nn.Module):

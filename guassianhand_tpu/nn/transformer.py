@@ -32,7 +32,10 @@ class GEGLU(nn.Module):
     def __call__(self, x):
         h = nn.Dense(self.dim_out * 2)(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        return h * nn.gelu(gate)
+        # exact (erf) gelu: diffusers GEGLU uses F.gelu(approximate='none')
+        # (transformers.py:468-470) — the tanh approximation drifts ~1e-3
+        # against ported reference weights
+        return h * nn.gelu(gate, approximate=False)
 
 
 class FeedForward(nn.Module):

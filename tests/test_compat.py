@@ -225,3 +225,116 @@ def test_port_dinov2_backbone():
                     (path + k, dst[k].shape, np.shape(v))
 
     check(shapes, params)
+
+
+def test_transformer1d_port_matches_torch_forward(tmp_path):
+    """Numeric proof of the Transformer1D port: a torch replica of the
+    reference stack (transformers.py:673-908 structure + diffusers
+    BasicTransformerBlock naming: norm/proj_in/transformer_blocks.N.{norm1,
+    attn1.to_{q,k,v,out.0},norm2,attn2,norm3,ff.net.{0.proj,2}}/proj_out),
+    random-initialized, ported through _transformer1d, must produce the same
+    channels-first output as the flax module — validates every kernel
+    transpose, the GEGLU chunk order, the exact-erf gelu, head reshapes, and
+    GroupNorm semantics."""
+    import math
+    import torch
+    import torch.nn as tnn
+    import torch.nn.functional as F
+    import jax
+    import jax.numpy as jnp
+    from guassianhand_tpu.compat.torch_port import _transformer1d
+    from guassianhand_tpu.nn.transformer import Transformer1D
+
+    dim_c, inner, heads, hd, L = 40, 32, 2, 16, 2
+
+    class TAttn(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.to_q = tnn.Linear(inner, inner, bias=False)
+            self.to_k = tnn.Linear(inner, inner, bias=False)
+            self.to_v = tnn.Linear(inner, inner, bias=False)
+            self.to_out = tnn.ModuleList([tnn.Linear(inner, inner)])
+
+        def forward(self, x):
+            b, n, _ = x.shape
+            def split(t):
+                return t.view(b, n, heads, hd).permute(0, 2, 1, 3)
+            q, k, v = split(self.to_q(x)), split(self.to_k(x)), split(self.to_v(x))
+            a = torch.softmax(q @ k.transpose(-1, -2) / math.sqrt(hd), dim=-1)
+            o = (a @ v).permute(0, 2, 1, 3).reshape(b, n, inner)
+            return self.to_out[0](o)
+
+    class TGEGLU(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.proj = tnn.Linear(inner, inner * 8)
+
+        def forward(self, x):
+            h, gate = self.proj(x).chunk(2, dim=-1)
+            return h * F.gelu(gate)
+
+    class TFF(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.net = tnn.ModuleList(
+                [TGEGLU(), tnn.Identity(), tnn.Linear(inner * 4, inner)])
+
+        def forward(self, x):
+            for m in self.net:
+                x = m(x)
+            return x
+
+    class TBlock(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.norm1 = tnn.LayerNorm(inner)
+            self.attn1 = TAttn()
+            self.norm2 = tnn.LayerNorm(inner)
+            self.attn2 = TAttn()
+            self.norm3 = tnn.LayerNorm(inner)
+            self.ff = TFF()
+
+        def forward(self, x):
+            x = x + self.attn1(self.norm1(x))
+            x = x + self.attn2(self.norm2(x))
+            x = x + self.ff(self.norm3(x))
+            return x
+
+    class TT1D(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.norm = tnn.GroupNorm(8, dim_c, eps=1e-6)
+            self.proj_in = tnn.Linear(dim_c, inner)
+            self.transformer_blocks = tnn.ModuleList(
+                [TBlock() for _ in range(L)])
+            self.proj_out = tnn.Linear(inner, dim_c)
+
+        def forward(self, x):  # (B, C, N)
+            res = x
+            h = self.norm(x).permute(0, 2, 1)
+            h = self.proj_in(h)
+            for blk in self.transformer_blocks:
+                h = blk(h)
+            h = self.proj_out(h)
+            return h.permute(0, 2, 1) + res
+
+    torch.manual_seed(0)
+
+    class Holder(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.backbone = TT1D()
+
+    holder = Holder().eval()
+    sd = {k: v for k, v in holder.state_dict().items()}
+    flax_tree = _transformer1d(sd, "backbone", num_layers=L)
+
+    rng = np.random.RandomState(0)
+    tokens = rng.normal(size=(2, dim_c, 24)).astype(np.float32)
+    with torch.no_grad():
+        want = holder.backbone(torch.from_numpy(tokens)).numpy()
+
+    model = Transformer1D(num_layers=L, heads=heads, head_dim=hd,
+                          norm_groups=8)
+    got = model.apply({"params": flax_tree}, jnp.asarray(tokens))
+    np.testing.assert_allclose(np.asarray(got), want, atol=3e-5, rtol=1e-4)

@@ -234,3 +234,58 @@ def test_ssim_matches_independent_numpy_reference():
     # identical images -> exactly 1
     np.testing.assert_allclose(float(ssim(jnp.asarray(a), jnp.asarray(a))),
                                1.0, atol=1e-6)
+
+
+def test_vgg_matches_torch_forward(tmp_path):
+    """Numeric cross-check of the VGG19 port path: a torch-built
+    vgg19.features stack (torchvision layout/keys, random weights) saved as a
+    state_dict, loaded through VGGLoss's weight loader, must produce the same
+    four slice activations as the torch forward — validates conv layout
+    transposes, SAME padding, pool placement, and ImageNet normalization."""
+    import torch
+    import torch.nn as tnn
+
+    torch.manual_seed(0)
+    seq = []
+    cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M", 512]
+    in_ch = 3
+    for v in cfg:
+        if v == "M":
+            seq.append(tnn.MaxPool2d(2, 2))
+        else:
+            seq.append(tnn.Conv2d(in_ch, v, 3, padding=1))
+            seq.append(tnn.ReLU(inplace=False))
+            in_ch = v
+
+    class Wrap(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.features = tnn.Sequential(*seq)
+
+    net = Wrap().eval()
+    path = str(tmp_path / "vgg19_rand.pth")
+    torch.save(net.state_dict(), path)
+
+    from guassianhand_tpu.train.vgg import (IMAGENET_MEAN, IMAGENET_STD,
+                                            VGGLoss)
+    vl = VGGLoss(weights_path=path)
+    assert vl.pretrained
+
+    rng = np.random.RandomState(1)
+    img = rng.uniform(0, 1, (1, 3, 32, 32)).astype(np.float32)
+
+    with torch.no_grad():
+        h = (torch.from_numpy(img)
+             - torch.tensor(IMAGENET_MEAN).view(1, 3, 1, 1)) \
+            / torch.tensor(IMAGENET_STD).view(1, 3, 1, 1)
+        torch_slices = []
+        for i, layer in enumerate(net.features):
+            h = layer(h)
+            if i in (1, 6, 11, 20):   # relu1_1, relu2_1, relu3_1, relu4_1
+                torch_slices.append(h.numpy())
+
+    jax_slices = vl.features(jnp.asarray(img))
+    assert len(jax_slices) == 4
+    for ts_, js in zip(torch_slices, jax_slices):
+        np.testing.assert_allclose(np.asarray(js).transpose(0, 3, 1, 2), ts_,
+                                   atol=2e-4, rtol=1e-3)
