@@ -257,7 +257,7 @@ def _point_generator(sd, prefix):
 
 
 # HF dinov2-base key prefixes -> nn.image_tokenizer.ImageTokenizer params.
-def port_dinov2_backbone(state_dict):
+def port_dinov2_backbone(state_dict, num_layers: int = 12):
     """Map an HF `facebook/dinov2-base` torch state_dict into the
     ImageTokenizer layout (the backbone weights the reference downloads at
     model build, tgs/models/tokenizers/image.py:33-50; NOT part of the
@@ -289,7 +289,7 @@ def port_dinov2_backbone(state_dict):
         "layernorm": {"scale": get("layernorm.weight"),
                       "bias": get("layernorm.bias")},
     }
-    for i in range(12):
+    for i in range(num_layers):
         p = f"encoder.layer.{i}"
         lin = lambda name: {"kernel": get(f"{p}.{name}.weight").T,
                             "bias": get(f"{p}.{name}.bias")}

@@ -338,3 +338,42 @@ def test_transformer1d_port_matches_torch_forward(tmp_path):
                           norm_groups=8)
     got = model.apply({"params": flax_tree}, jnp.asarray(tokens))
     np.testing.assert_allclose(np.asarray(got), want, atol=3e-5, rtol=1e-4)
+
+
+def test_dinov2_port_matches_hf_forward():
+    """Numeric proof of the DINOv2 mapping: a transformers-library
+    Dinov2Model (the SAME implementation HF loads facebook/dinov2-base into),
+    random-initialized, ported via port_dinov2_backbone, must produce the
+    same tokens as nn.image_tokenizer.ImageTokenizer — validates the patch
+    conv transpose, cls/pos handling, q/k/v/dense transposes, LayerScale,
+    and the exact-erf MLP gelu."""
+    import torch
+    from transformers import Dinov2Config, Dinov2Model
+    import jax.numpy as jnp
+    from guassianhand_tpu.compat.torch_port import port_dinov2_backbone
+    from guassianhand_tpu.nn.image_tokenizer import (IMAGE_MEAN, IMAGE_STD,
+                                                     ImageTokenizer)
+
+    width, layers, heads = 64, 2, 2
+    cfg = Dinov2Config(hidden_size=width, num_hidden_layers=layers,
+                       num_attention_heads=heads, intermediate_size=width * 4,
+                       image_size=224, patch_size=14)
+    torch.manual_seed(0)
+    hf = Dinov2Model(cfg).eval()
+
+    params, unmapped = port_dinov2_backbone(hf.state_dict(),
+                                            num_layers=layers)
+    assert unmapped == [], unmapped
+
+    rng = np.random.RandomState(0)
+    img = rng.uniform(0, 1, (1, 224, 224, 3)).astype(np.float32)
+    mean = np.asarray(IMAGE_MEAN, np.float32).reshape(1, 3, 1, 1)
+    std = np.asarray(IMAGE_STD, np.float32).reshape(1, 3, 1, 1)
+    pixel_values = torch.from_numpy(
+        (img.transpose(0, 3, 1, 2) - mean) / std)
+    with torch.no_grad():
+        want = hf(pixel_values).last_hidden_state.numpy()
+
+    model = ImageTokenizer(width=width, layers=layers, heads=heads)
+    got = model.apply({"params": params}, jnp.asarray(img))
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-5, rtol=1e-4)
