@@ -377,3 +377,166 @@ def test_dinov2_port_matches_hf_forward():
     model = ImageTokenizer(width=width, layers=layers, heads=heads)
     got = model.apply({"params": params}, jnp.asarray(img))
     np.testing.assert_allclose(np.asarray(got), want, atol=5e-5, rtol=1e-4)
+
+
+def test_self_attn_port_matches_torch_forward():
+    """Numeric proof of the interaction SelfAttn port (self_attn.py:36-85):
+    torch replica with reference naming (w_qs/w_ks/w_vs/fc/layer_norm/ff.*),
+    ported via _self_attn, must match our blockwise-attention SelfAttn in
+    eval mode — validates the q/k/v head reshapes, the exact blockwise
+    online-softmax, and the MLP res block."""
+    import math
+    import torch
+    import torch.nn as tnn
+    import torch.nn.functional as F
+    import jax.numpy as jnp
+    from guassianhand_tpu.compat.torch_port import _self_attn
+    from guassianhand_tpu.nn.heads import SelfAttn
+
+    f_dim, heads, n = 32, 4, 192
+
+    class TSelfAttn(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            d = f_dim // heads
+            self.d = d
+            self.w_qs = tnn.Linear(f_dim, f_dim)
+            self.w_ks = tnn.Linear(f_dim, f_dim)
+            self.w_vs = tnn.Linear(f_dim, f_dim)
+            self.layer_norm = tnn.LayerNorm(f_dim, eps=1e-6)
+            self.fc = tnn.Linear(f_dim, f_dim)
+            self.ff = tnn.Module()
+            self.ff.layer_norm = tnn.LayerNorm(f_dim, eps=1e-6)
+            self.ff.fc1 = tnn.Linear(f_dim, f_dim)
+            self.ff.fc2 = tnn.Linear(f_dim, f_dim)
+
+        def forward(self, x):
+            bs, v, _ = x.shape
+            h = self.layer_norm(x)
+            def split(t):
+                return t.view(bs, v, heads, self.d).transpose(1, 2)
+            q, k, vv = split(self.w_qs(h)), split(self.w_ks(h)), split(self.w_vs(h))
+            a = torch.softmax(q @ k.transpose(-1, -2) / math.sqrt(self.d), -1)
+            o = (a @ vv).transpose(1, 2).reshape(bs, v, f_dim)
+            x = x + self.fc(o)
+            h = self.ff.layer_norm(x)
+            return x + self.ff.fc2(F.relu(self.ff.fc1(h)))
+
+    torch.manual_seed(0)
+
+    class Holder(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.renderer = tnn.Module()
+            self.renderer.self_attn_layer = TSelfAttn()
+
+    holder = Holder().eval()
+    sd = dict(holder.state_dict())
+    flax_tree = _self_attn(sd, "renderer.self_attn_layer")
+
+    rng = np.random.RandomState(0)
+    x = rng.normal(size=(2, n, f_dim)).astype(np.float32)
+    with torch.no_grad():
+        want = holder.renderer.self_attn_layer(torch.from_numpy(x)).numpy()
+
+    model = SelfAttn(n_heads=heads)
+    got = model.apply({"params": flax_tree}, jnp.asarray(x),
+                      deterministic=True)
+    np.testing.assert_allclose(np.asarray(got), want, atol=3e-5, rtol=1e-4)
+
+
+def test_pointnet_port_matches_torch_forward():
+    """Numeric proof of the LocalPoolPointnet port (pointnet_texture.py:11-114):
+    torch replica (ResnetBlockFC fc_0/fc_1 zero-init-fc_1 + shortcut, grid
+    index math, scatter-max pool + gather, final scatter-mean plane) ported
+    via _pointnet must match our segment_sum/segment_max implementation."""
+    import torch
+    import torch.nn as tnn
+    import torch.nn.functional as F
+    import jax.numpy as jnp
+    from guassianhand_tpu.compat.torch_port import _pointnet
+    from guassianhand_tpu.nn.pointnet import LocalPoolPointnet
+
+    hidden, c_dim, reso, nblk, t = 16, 24, 8, 3, 500
+
+    class TRes(tnn.Module):
+        def __init__(self, size_in, size_out):
+            super().__init__()
+            size_h = min(size_in, size_out)
+            self.fc_0 = tnn.Linear(size_in, size_h)
+            self.fc_1 = tnn.Linear(size_h, size_out)
+            if size_in != size_out:
+                self.shortcut = tnn.Linear(size_in, size_out, bias=False)
+            else:
+                self.shortcut = None
+
+        def forward(self, x):
+            net = self.fc_0(F.relu(x))
+            dx = self.fc_1(F.relu(net))
+            xs = self.shortcut(x) if self.shortcut is not None else x
+            return xs + dx
+
+    def scatter_max(src, idx, r2):
+        # (B, C, T) -> (B, C, R2); empty cells -> 0 (torch_scatter semantics)
+        b, c, _ = src.shape
+        out = torch.full((b, c, r2), float("-inf"))
+        out = out.scatter_reduce(2, idx.expand(b, c, -1), src, "amax",
+                                 include_self=False)
+        return torch.where(torch.isinf(out), torch.zeros(()), out)
+
+    def scatter_mean(src, idx, r2):
+        b, c, _ = src.shape
+        s = torch.zeros((b, c, r2)).scatter_reduce(
+            2, idx.expand(b, c, -1), src, "sum", include_self=True)
+        cnt = torch.zeros((b, 1, r2)).scatter_reduce(
+            2, idx[:, :1], torch.ones_like(src[:, :1]), "sum",
+            include_self=True)
+        return s / cnt.clamp(min=1.0)
+
+    class TPointnet(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.fc_pos = tnn.Linear(3, 2 * hidden)
+            self.blocks = tnn.ModuleList(
+                [TRes(2 * hidden, hidden) for _ in range(nblk)])
+            self.fc_c = tnn.Linear(hidden, c_dim)
+            for blk in self.blocks:
+                tnn.init.zeros_(blk.fc_1.weight)
+
+        def forward(self, p):
+            b = p.shape[0]
+            pos = torch.clamp(p[..., :2], -1 + 1e-6, 1 - 1e-6)
+            pos01 = (pos + 1.0) / 2.0
+            ij = (pos01 * reso).long()
+            idx = (ij[..., 0] + reso * ij[..., 1])[:, None, :]  # (B, 1, T)
+            net = self.fc_pos(p)
+            net = self.blocks[0](net)
+            for blk in self.blocks[1:]:
+                fea = scatter_max(net.permute(0, 2, 1), idx, reso ** 2)
+                pooled = fea.gather(2, idx.expand(-1, hidden, -1))
+                net = torch.cat([net, pooled.permute(0, 2, 1)], dim=2)
+                net = blk(net)
+            c = self.fc_c(net)
+            return scatter_mean(c.permute(0, 2, 1), idx, reso ** 2).reshape(
+                b, c_dim, reso, reso)
+
+    torch.manual_seed(0)
+
+    class Holder(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.point_encoder_texture = TPointnet()
+
+    holder = Holder().eval()
+    flax_tree = _pointnet(dict(holder.state_dict()), "point_encoder_texture",
+                          n_blocks=nblk)
+
+    rng = np.random.RandomState(0)
+    p = rng.uniform(-1, 1, (2, t, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = holder.point_encoder_texture(torch.from_numpy(p)).numpy()
+
+    model = LocalPoolPointnet(c_dim=c_dim, hidden_dim=hidden, plane_size=reso,
+                              n_blocks=nblk)
+    got = model.apply({"params": flax_tree}, jnp.asarray(p))
+    np.testing.assert_allclose(np.asarray(got), want, atol=3e-5, rtol=1e-4)
