@@ -540,3 +540,98 @@ def test_pointnet_port_matches_torch_forward():
                               n_blocks=nblk)
     got = model.apply({"params": flax_tree}, jnp.asarray(p))
     np.testing.assert_allclose(np.asarray(got), want, atol=3e-5, rtol=1e-4)
+
+
+def test_skip_transformer_port_matches_torch_forward():
+    """Numeric proof of the snowflake SkipTransformer port
+    (skip_transformer.py:9-69): torch replica (kernel-1 convs, eval-mode
+    BatchNorm, kNN vector attention with relative-pos MLP) ported via
+    _skip_transformer must match our gather-based implementation."""
+    import torch
+    import torch.nn as tnn
+    import jax.numpy as jnp
+    from guassianhand_tpu.compat.torch_port import _skip_transformer
+    from guassianhand_tpu.nn.snowflake import SkipTransformer
+
+    C, D, K, N, PH = 24, 16, 8, 160, 12
+
+    class TMLPRes(tnn.Module):
+        def __init__(self, in_dim, hidden, out):
+            super().__init__()
+            self.conv_1 = tnn.Conv1d(in_dim, hidden, 1)
+            self.conv_2 = tnn.Conv1d(hidden, out, 1)
+            self.conv_shortcut = tnn.Conv1d(in_dim, out, 1)
+
+        def forward(self, x):
+            return (self.conv_2(torch.relu(self.conv_1(x)))
+                    + self.conv_shortcut(x))
+
+    class TSkip(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.mlp_v = TMLPRes(C * 2, C, C)
+            self.conv_key = tnn.Conv1d(C, D, 1)
+            self.conv_query = tnn.Conv1d(C, D, 1)
+            self.conv_value = tnn.Conv1d(C, D, 1)
+            self.pos_mlp = tnn.Sequential(
+                tnn.Conv2d(3, PH, 1), tnn.BatchNorm2d(PH), tnn.ReLU(),
+                tnn.Conv2d(PH, D, 1))
+            self.attn_mlp = tnn.Sequential(
+                tnn.Conv2d(D, D * 4, 1), tnn.BatchNorm2d(D * 4), tnn.ReLU(),
+                tnn.Conv2d(D * 4, D, 1))
+            self.conv_end = tnn.Conv1d(D, C, 1)
+
+        def forward(self, pos, key, query):
+            # pos (1, 3, N); key/query (1, C, N)
+            value = self.mlp_v(torch.cat([key, query], 1))
+            identity = value
+            k = self.conv_key(key)
+            q = self.conv_query(query)
+            v = self.conv_value(value)
+            b, d, n = v.shape
+            dist = torch.cdist(pos.permute(0, 2, 1), pos.permute(0, 2, 1))
+            idx = dist.topk(K, dim=-1, largest=False).indices  # (1, N, K)
+            def group(t):  # (1, c, N) -> (1, c, N, K)
+                c = t.shape[1]
+                return t.gather(
+                    2, idx.reshape(1, 1, -1).expand(-1, c, -1)
+                ).reshape(1, c, n, K)
+            kg = group(k)
+            qk_rel = q.reshape(b, -1, n, 1) - kg
+            pos_rel = pos.reshape(b, -1, n, 1) - group(pos)
+            pos_emb = self.pos_mlp(pos_rel)
+            attn = torch.softmax(self.attn_mlp(qk_rel + pos_emb), -1)
+            agg = torch.einsum("bcij,bcij->bci", attn,
+                               v.reshape(b, -1, n, 1) + pos_emb)
+            return self.conv_end(agg) + identity
+
+    torch.manual_seed(0)
+
+    class Holder(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.skip_transformer = TSkip()
+
+    holder = Holder()
+    # randomize the BN running stats so eval-mode normalization is exercised
+    for m in holder.modules():
+        if isinstance(m, tnn.BatchNorm2d):
+            m.running_mean.normal_(0, 0.5)
+            m.running_var.uniform_(0.5, 2.0)
+    holder.eval()
+    flax_tree = _skip_transformer(dict(holder.state_dict()),
+                                  "skip_transformer")
+
+    rng = np.random.RandomState(0)
+    pos = rng.uniform(-1, 1, (N, 3)).astype(np.float32)
+    key = rng.normal(size=(N, C)).astype(np.float32)
+    query = rng.normal(size=(N, C)).astype(np.float32)
+    with torch.no_grad():
+        want = holder.skip_transformer(
+            torch.from_numpy(pos.T[None]), torch.from_numpy(key.T[None]),
+            torch.from_numpy(query.T[None])).numpy()[0].T
+
+    model = SkipTransformer(in_channel=C, dim=D, n_knn=K, pos_hidden=PH)
+    got = model.apply({"params": flax_tree}, jnp.asarray(pos),
+                      jnp.asarray(key), jnp.asarray(query))
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-5, rtol=1e-4)
