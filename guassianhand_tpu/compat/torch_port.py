@@ -130,8 +130,15 @@ def _self_attn(sd, prefix):
 
 
 def _conv_transpose(sd, prefix):
+    """torch ConvTranspose2d (in, out, kh, kw) -> flax nn.ConvTranspose
+    (kh, kw, in, out). The two conventions differ by a SPATIAL FLIP of the
+    kernel (torch scatters w[.., kh, kw] to output offset (kh, kw); flax's
+    lax.conv_transpose is the mirrored gradient-of-conv) — without the
+    [::-1, ::-1] every 2x2 upsampled block comes out transposed (caught by
+    tests/test_compat.py::test_triplane_upsampler_port_matches_torch_forward).
+    """
     w = np.asarray(sd[f"{prefix}.weight"])  # (in, out, kh, kw)
-    return {"kernel": w.transpose(2, 3, 0, 1),
+    return {"kernel": w.transpose(2, 3, 0, 1)[::-1, ::-1].copy(),
             "bias": np.asarray(sd[f"{prefix}.bias"])}
 
 

@@ -635,3 +635,38 @@ def test_skip_transformer_port_matches_torch_forward():
     got = model.apply({"params": flax_tree}, jnp.asarray(pos),
                       jnp.asarray(key), jnp.asarray(query))
     np.testing.assert_allclose(np.asarray(got), want, atol=5e-5, rtol=1e-4)
+
+
+def test_triplane_upsampler_port_matches_torch_forward():
+    """Numeric proof of the triplane upsampler port (networks_texture.py:
+    30-54): torch ConvTranspose2d(k=2, s=2) ported via _conv_transpose must
+    match flax nn.ConvTranspose — catches kernel orientation/flip mismatches
+    between the two transposed-conv conventions."""
+    import torch
+    import torch.nn as tnn
+    import jax.numpy as jnp
+    from guassianhand_tpu.compat.torch_port import _conv_transpose
+    from guassianhand_tpu.nn.tokenizers import TriplaneUpsampler
+
+    cin, cout, s = 8, 6, 5
+    torch.manual_seed(0)
+
+    class Holder(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.upsample = tnn.ConvTranspose2d(cin, cout, 2, stride=2)
+
+    holder = Holder().eval()
+    flax_tree = {"ConvTranspose_0": _conv_transpose(
+        dict(holder.state_dict()), "upsample")}
+
+    rng = np.random.RandomState(0)
+    x = rng.normal(size=(2, 2, cin, s, s)).astype(np.float32)  # (B, Np, C, S, S)
+    with torch.no_grad():
+        want = holder.upsample(
+            torch.from_numpy(x.reshape(4, cin, s, s))).numpy().reshape(
+            2, 2, cout, 2 * s, 2 * s)
+
+    model = TriplaneUpsampler(out_channels=cout)
+    got = model.apply({"params": flax_tree}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-4)
