@@ -442,9 +442,13 @@ def stack_transformer_blocks(tree: Dict[str, Any]) -> Dict[str, Any]:
 
 def merge_ported(params_init: Dict[str, Any], ported: Dict[str, Any]):
     """Overlay ported leaves onto an initialized flax params tree (shapes must
-    match; mismatches keep the init and are reported)."""
+    match; mismatches keep the init and are reported). Transformer layouts
+    (unrolled block_i vs nn.scan 'blocks') are reconciled toward the init's
+    layout first, so ported reference weights load into scan models too."""
     import jax.numpy as jnp
+    from guassianhand_tpu.train.checkpoints import _adapt_transformer_layout
 
+    ported = _adapt_transformer_layout(ported, params_init)
     skipped = []
 
     def merge(dst, src, path=""):
