@@ -289,3 +289,67 @@ def test_vgg_matches_torch_forward(tmp_path):
     for ts_, js in zip(torch_slices, jax_slices):
         np.testing.assert_allclose(np.asarray(js).transpose(0, 3, 1, 2), ts_,
                                    atol=2e-4, rtol=1e-3)
+
+
+def test_lpips_matches_torch_forward(tmp_path):
+    """Numeric proof of the LPIPS port path: a torch replica of
+    lpips.LPIPS(net='alex') (torchvision AlexNet features, input
+    shift/scale, unit-normalized channel diffs, 1x1 lin calibration, spatial
+    mean) with random weights saved in the lpips state_dict key layout
+    (features.N.*, linK.1.weight) must match our JAX LPIPS when loaded
+    through its weight loader."""
+    import torch
+    import torch.nn as tnn
+    import torch.nn.functional as F
+    from guassianhand_tpu.train.lpips import LPIPS, _SHIFT, _SCALE
+
+    plan = [(64, 11, 4, 2, False), (192, 5, 1, 2, True),
+            (384, 3, 1, 1, True), (256, 3, 1, 1, False),
+            (256, 3, 1, 1, False)]
+    idxs = [0, 3, 6, 8, 10]
+    torch.manual_seed(0)
+    convs = []
+    in_ch = 3
+    sd = {}
+    for (out_ch, k, s, p, pool), idx in zip(plan, idxs):
+        c = tnn.Conv2d(in_ch, out_ch, k, stride=s, padding=p)
+        convs.append(c)
+        sd[f"features.{idx}.weight"] = c.weight.detach().clone()
+        sd[f"features.{idx}.bias"] = c.bias.detach().clone()
+        lin = torch.rand(out_ch) * 0.1
+        sd[f"lin{len(convs)-1}.1.weight"] = lin.reshape(out_ch, 1, 1, 1)
+        in_ch = out_ch
+    path = str(tmp_path / "lpips_rand.pth")
+    torch.save(sd, path)
+
+    def torch_feats(x):
+        h = (x - torch.tensor(_SHIFT).view(1, 3, 1, 1)) \
+            / torch.tensor(_SCALE).view(1, 3, 1, 1)
+        outs = []
+        for conv, (_, _, _, _, pool) in zip(convs, plan):
+            if pool:
+                h = F.max_pool2d(h, 3, 2)
+            h = F.relu(conv(h))
+            outs.append(h)
+        return outs
+
+    rng = np.random.RandomState(0)
+    x = (rng.uniform(0, 1, (2, 3, 64, 64)) * 2 - 1).astype(np.float32)
+    y = np.clip(x + 0.2 * rng.normal(size=x.shape), -1, 1).astype(np.float32)
+
+    with torch.no_grad():
+        fx = torch_feats(torch.from_numpy(x))
+        fy = torch_feats(torch.from_numpy(y))
+        want = torch.zeros(2)
+        for i, (a, b) in enumerate(zip(fx, fy)):
+            an = a / a.norm(dim=1, keepdim=True).clamp(min=1e-10)
+            bn = b / b.norm(dim=1, keepdim=True).clamp(min=1e-10)
+            d = (an - bn) ** 2
+            lin = sd[f"lin{i}.1.weight"].view(1, -1, 1, 1)
+            want = want + (d * lin).sum(1).mean((1, 2))
+
+    metric = LPIPS(weights_path=path)
+    assert metric.pretrained
+    got = metric(jnp.asarray(x), jnp.asarray(y))
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=1e-4,
+                               rtol=1e-3)
