@@ -807,3 +807,93 @@ def test_spd_pp_port_matches_torch_forward():
                                atol=5e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(k_j), k_t.numpy()[0].T,
                                atol=5e-5, rtol=1e-4)
+
+
+def test_gs_layer_and_mlp_port_match_torch_forward():
+    """Numeric proof for the GSLayer decode heads (renderer_one_shot.py:
+    156-214: per-attribute linears + activation chain) and the embedder MLP
+    (networks_texture.py:57-106: Linear/SiLU Sequential) ports."""
+    import torch
+    import torch.nn as tnn
+    import torch.nn.functional as F
+    import jax.numpy as jnp
+    from guassianhand_tpu.compat.torch_port import _gs_layer, _mlp
+    from guassianhand_tpu.nn.heads import GSLayer
+    from guassianhand_tpu.nn.mlp import MLP
+
+    cin, n = 20, 50
+    torch.manual_seed(0)
+
+    # ---- GSLayer (use_rgb mode: shs -> 3 sigmoid channels)
+    chans = [("xyz", 3), ("scaling", 3), ("rotation", 4), ("opacity", 1),
+             ("shs", 3)]
+
+    class TGS(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.out_layers = tnn.ModuleList(
+                [tnn.Linear(cin, c) for _, c in chans])
+
+        def forward(self, x, pts):
+            ret = {}
+            for (k, _), layer in zip(chans, self.out_layers):
+                v = layer(x)
+                if k == "rotation":
+                    v = F.normalize(v)
+                elif k == "scaling":
+                    v = torch.exp(v)
+                elif k == "opacity":
+                    v = torch.sigmoid(v)
+                elif k == "shs":
+                    v = torch.sigmoid(v).reshape(v.shape[0], 1, 3)
+                elif k == "xyz":
+                    v = (torch.sigmoid(v) - 0.5) * (1.2 / 32) + pts
+                ret[k] = v
+            return ret
+
+    class GHolder(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.gs_net = TGS()
+
+    gh = GHolder().eval()
+    gs_tree = _gs_layer(dict(gh.state_dict()), "gs_net")
+
+    rng = np.random.RandomState(0)
+    x = rng.normal(size=(n, cin)).astype(np.float32)
+    pts = rng.normal(size=(n, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = gh.gs_net(torch.from_numpy(x), torch.from_numpy(pts))
+
+    got = GSLayer(use_rgb=True).apply({"params": gs_tree}, jnp.asarray(x),
+                                      jnp.asarray(pts))
+    for k, ours in [("xyz", got.xyz), ("scaling", got.scaling),
+                    ("rotation", got.rotation), ("opacity", got.opacity),
+                    ("shs", got.shs)]:
+        np.testing.assert_allclose(np.asarray(ours), want[k].numpy(),
+                                   atol=2e-5, rtol=1e-4, err_msg=k)
+
+    # ---- embedder MLP (1 hidden layer, silu)
+    class TMLP(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.layers = tnn.Sequential(
+                tnn.Linear(cin, 16), tnn.SiLU(), tnn.Linear(16, 8))
+
+        def forward(self, x):
+            return self.layers(x)
+
+    class MHolder(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.camera_embedder = TMLP()
+
+    mh = MHolder().eval()
+    mlp_tree = _mlp(dict(mh.state_dict()), "camera_embedder", 1)
+    with torch.no_grad():
+        want_m = mh.camera_embedder(torch.from_numpy(x)).numpy()
+    got_m = MLP(dim_out=8, n_neurons=16, n_hidden_layers=1,
+                activation="silu").apply({"params": mlp_tree},
+                                         jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got_m), want_m, atol=2e-5,
+                               rtol=1e-4)
