@@ -58,6 +58,16 @@ _SUFFIX_PRECISION = {"high": jax.lax.Precision.HIGH,
                          _os.environ.get("GH_SUFFIX_PREC", "highest").lower(),
                          jax.lax.Precision.HIGHEST)
 
+# GH_BWD_MOMENTS=1: compute the six per-pair gradient reductions (dopa, ddx,
+# ddy, da, db, dc) from ONE (8, P) x (P, G) moment matmul over the polynomial
+# basis [1, x, y, x^2, y^2, xy] in TILE-LOCAL pixel coordinates, instead of
+# six separate cross-sublane VPU reductions with per-element integrands. The
+# integrands are all dpower times a degree-<=2 polynomial in (dx, dy), so
+# they are exact linear combinations of the basis moments; local coordinates
+# (|x| <= tile_size + splat radius) keep the reconstruction well-conditioned.
+# Changes only the association order of gradient sums (few-ulp class).
+_BWD_MOMENTS = _os.environ.get("GH_BWD_MOMENTS", "0") == "1"
+
 # attr rows: 0:x 1:y 2:conicA 3:conicB 4:conicC 5:r 6:g 7:b 8:opacity
 ATTR_ROWS = 16
 # grad rows: 0:dx 1:dy 2:dA 3:dB 4:dC 5:dr 6:dg 7:db 8:dopacity
@@ -441,6 +451,17 @@ def _bwd_kernel(boff_ref, cnt_ref, tob_ref, bob_ref, srcb_ref, cpxb_ref,
           ).astype(jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, g), 1)
 
+    # Moment basis over tile-local pixel coords — identical for every tile,
+    # so built once outside the block loop (see _BWD_MOMENTS).
+    if _BWD_MOMENTS:
+        pidx = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
+        pxl = (pidx % tile_size).astype(jnp.float32)
+        pyl = (pidx // tile_size).astype(jnp.float32)
+        basis = jnp.concatenate(
+            [jnp.ones((1, p), jnp.float32), pxl, pyl,
+             pxl * pxl, pyl * pyl, pxl * pyl,
+             jnp.zeros((2, p), jnp.float32)], axis=0)  # (8, P)
+
     def body(k, carry):
         r_carry, gslot_prev = carry
         b = c_total - 1 - k
@@ -504,12 +525,43 @@ def _bwd_kernel(boff_ref, cnt_ref, tob_ref, bob_ref, srcb_ref, cpxb_ref,
         dalpha = (e * cpexc - r_i / g_div) * live
 
         dpower = dalpha * alpha_raw
-        dopa = jnp.sum(exp_power * dalpha * live, axis=0, keepdims=True)
-        ddx = jnp.sum(dpower * -(ca * dx + cb * dy), axis=0, keepdims=True)
-        ddy = jnp.sum(dpower * -(cc * dy + cb * dx), axis=0, keepdims=True)
-        da = jnp.sum(dpower * (-0.5 * dx * dx), axis=0, keepdims=True)
-        db = jnp.sum(dpower * (-dx * dy), axis=0, keepdims=True)
-        dc = jnp.sum(dpower * (-0.5 * dy * dy), axis=0, keepdims=True)
+        if _BWD_MOMENTS:
+            # mom[k, i] = sum_p dpower[p, i] * basis_k(p) — one MXU matmul.
+            mom = jax.lax.dot_general(
+                basis, dpower, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)  # (8, G)
+            n1, nx, ny = mom[0:1, :], mom[1:2, :], mom[2:3, :]
+            nxx, nyy, nxy = mom[3:4, :], mom[4:5, :], mom[5:6, :]
+            ox = ((t % ntx) * tile_size).astype(jnp.float32)
+            oy = ((t // ntx) * tile_size).astype(jnp.float32)
+            xgl = attr[0:1, :] - ox  # gaussian mean, tile-local
+            ygl = attr[1:2, :] - oy
+            # S_* = sum_p dpower * dx^a dy^b, expanded in basis moments
+            # (dx = xgl - pxl is translation-invariant, so local == global).
+            sx = xgl * n1 - nx
+            sy = ygl * n1 - ny
+            sxx = xgl * (xgl * n1 - 2.0 * nx) + nxx
+            syy = ygl * (ygl * n1 - 2.0 * ny) + nyy
+            sxy = xgl * sy - ygl * nx + nxy
+            ddx = -(ca * sx + cb * sy)
+            ddy = -(cc * sy + cb * sx)
+            da = -0.5 * sxx
+            db = -sxy
+            dc = -0.5 * syy
+            # dopa = sum_p exp_power*dalpha = n1/op (dpower = dalpha*op*
+            # exp_power); masked slots have n1 == 0 exactly, and zero-padded
+            # tail columns (op == 0) are guarded by the max.
+            dopa = n1 / jnp.maximum(attr[8:9, :], 1e-12)
+        else:
+            dopa = jnp.sum(exp_power * dalpha * live, axis=0, keepdims=True)
+            ddx = jnp.sum(dpower * -(ca * dx + cb * dy), axis=0,
+                          keepdims=True)
+            ddy = jnp.sum(dpower * -(cc * dy + cb * dx), axis=0,
+                          keepdims=True)
+            da = jnp.sum(dpower * (-0.5 * dx * dx), axis=0, keepdims=True)
+            db = jnp.sum(dpower * (-dx * dy), axis=0, keepdims=True)
+            dc = jnp.sum(dpower * (-0.5 * dy * dy), axis=0, keepdims=True)
         dcol = jax.lax.dot_general(
             gimg, w, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
