@@ -74,7 +74,7 @@ class RasterizeConfig:
 
 
 def _sorted_attr_table(mean2d, conic, color, opacity, tile_flat, depth, m, g,
-                       stable=True):
+                       stable=True, ntx=1, tile_size=16, num_tiles=1):
     """Depth-sort the (N, M) pair enumeration WITH the attrs riding the sort.
 
     Returns (tile_s (NM,), attr_sorted (16, NMpad)) where attr rows are
@@ -106,8 +106,29 @@ def _sorted_attr_table(mean2d, conic, color, opacity, tile_flat, depth, m, g,
     tile_s = ops[0]
     attr_sorted = jnp.stack(ops[2:], axis=0)  # (10, NM)
     pad = (-nm) % g + 2 * g
+    if kern.FWD_POWER_MXU:
+        # Rows 10-15: tile-local polynomial coefficients of `power`, so the
+        # kernels evaluate the exponent as one MXU matmul against the
+        # [.., x^2, y^2, xy, x, y, 1] basis (kern._power_basis). Computed
+        # POST-sort (elementwise over the sorted table + tile id) so the
+        # (tile, depth) sort stays at 12 operands. Sentinel tiles (invalid
+        # pairs, tile_s == num_tiles) are clamped to keep the math finite;
+        # their slots are count-masked in-kernel anyway.
+        ts_safe = jnp.minimum(tile_s, num_tiles - 1)
+        ox = (ts_safe % ntx * tile_size).astype(jnp.float32)
+        oy = (ts_safe // ntx * tile_size).astype(jnp.float32)
+        x, y = attr_sorted[0], attr_sorted[1]
+        ca, cb, cc = attr_sorted[2], attr_sorted[3], attr_sorted[4]
+        ux = x - ox
+        uy = y - oy
+        coef = jnp.stack(
+            [-0.5 * ca, -0.5 * cc, -cb,
+             ca * ux + cb * uy, cc * uy + cb * ux,
+             -0.5 * (ca * ux * ux + cc * uy * uy) - cb * ux * uy], axis=0)
+        attr_sorted = jnp.concatenate([attr_sorted, coef], axis=0)
     attr_sorted = jnp.pad(attr_sorted,
-                          ((0, kern.ATTR_ROWS - 10), (0, pad)))
+                          ((0, kern.ATTR_ROWS - attr_sorted.shape[0]),
+                           (0, pad)))
     return tile_s, attr_sorted
 
 
@@ -174,7 +195,7 @@ def _composite_impl(mean2d, conic, color, opacity, tile_flat, depth,
 
     tile_s, attr_sorted = _sorted_attr_table(
         mean2d, conic, color, opacity, tile_flat, depth, m, g,
-        stable=cfg.sort_stable)
+        stable=cfg.sort_stable, ntx=ntx, tile_size=ts, num_tiles=num_tiles)
     (_, counts, block_off, tile_of_block, base_of_block, src_base,
      overflow_cap, overflow_budget) = binning_lib.slab_layout(
         tile_s, num_tiles, total_blocks, bcfg)

@@ -68,6 +68,31 @@ _SUFFIX_PRECISION = {"high": jax.lax.Precision.HIGH,
 # Changes only the association order of gradient sums (few-ulp class).
 _BWD_MOMENTS = _os.environ.get("GH_BWD_MOMENTS", "0") == "1"
 
+# GH_FWD_POWER_MXU=1: evaluate the per-pixel gaussian exponent `power` as ONE
+# (P, 8) x (8, G) MXU matmul instead of ~10 VPU ops per (pixel, pair)
+# element. The quadratic -0.5 d^T Sigma^-1 d, expanded in TILE-LOCAL pixel
+# coordinates, is a degree-2 polynomial whose 6 coefficients are computed
+# per pair AFTER the (tile, depth) sort (attr rows 10-15, see
+# ops/rasterize._sorted_attr_table) — tile-local coords keep |terms| <= a few
+# hundred, so the expansion error is ~1e-5 in power (alpha-relative 1e-5
+# class, inside the forward parity tolerances). The CUDA-semantics
+# `power > 0 -> skip` gate (a numeric-safety rule: true power is never
+# positive) becomes min(power, 0), which bounds alpha_raw <= opacity instead
+# of dropping rounding-positive center pixels.
+FWD_POWER_MXU = _os.environ.get("GH_FWD_POWER_MXU", "0") == "1"
+
+
+def _power_basis(tile_size: int, p: int):
+    """(P, 8) polynomial basis over tile-local pixel coords, aligned to attr
+    rows 8..15 = [opacity, gid, c_xx, c_yy, c_xy, c_x, c_y, c_0]."""
+    pidx = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    pxl = (pidx % tile_size).astype(jnp.float32)
+    pyl = (pidx // tile_size).astype(jnp.float32)
+    z = jnp.zeros((p, 1), jnp.float32)
+    return jnp.concatenate(
+        [z, z, pxl * pxl, pyl * pyl, pxl * pyl, pxl, pyl,
+         jnp.ones((p, 1), jnp.float32)], axis=1)
+
 # attr rows: 0:x 1:y 2:conicA 3:conicB 4:conicC 5:r 6:g 7:b 8:opacity
 ATTR_ROWS = 16
 # grad rows: 0:dx 1:dy 2:dA 3:dB 4:dC 5:dr 6:dg 7:db 8:dopacity
@@ -91,12 +116,15 @@ def _pixel_coords(t, ntx: int, tile_size: int, p: int):
     return px, py
 
 
-def _block_alpha(attr, px, py, base, cnt, g: int, lane=None):
+def _block_alpha(attr, px, py, base, cnt, g: int, lane=None, basis=None):
     """Masked alpha + helpers for one (P pixels x G pairs) block.
 
     Returns (alpha, alpha_raw, exp_power, dx, dy, conics) with masked slots at
     exactly alpha == 0. ``lane``: optional precomputed (1, G) lane iota
-    (loop-invariant; callers hoist it out of their block loops).
+    (loop-invariant; callers hoist it out of their block loops). ``basis``:
+    optional (P, 8) polynomial basis (FWD_POWER_MXU) — power comes from one
+    MXU matmul against attr rows 8..15 and dx/dy are left for DCE unless a
+    caller (the backward) uses them.
     """
     xg = attr[0:1, :]
     yg = attr[1:2, :]
@@ -107,14 +135,22 @@ def _block_alpha(attr, px, py, base, cnt, g: int, lane=None):
 
     dx = xg - px  # (P, G)
     dy = yg - py
-    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
 
     if lane is None:
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, g), 1)
     slot = base + lane
     valid = slot < cnt
-    pmask = valid & (power <= 0.0)
-    power_c = jnp.where(pmask, power, NEG_CLAMP)
+    if basis is not None:
+        power = jax.lax.dot_general(
+            basis, attr[8:16, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)  # (P, G)
+        pmask = valid
+        power_c = jnp.where(valid, jnp.minimum(power, 0.0), NEG_CLAMP)
+    else:
+        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+        pmask = valid & (power <= 0.0)
+        power_c = jnp.where(pmask, power, NEG_CLAMP)
     exp_power = jnp.exp(power_c)
     alpha_raw = op * exp_power
     alpha = jnp.minimum(alpha_raw, ALPHA_MAX)
@@ -159,12 +195,12 @@ def _prefix_products(g1, g: int, masks):
     return excl, x
 
 
-def _forward_block(attr, px, py, base, cnt, tc, g: int, masks):
+def _forward_block(attr, px, py, base, cnt, tc, g: int, masks, basis=None):
     """One composite block: returns (color_contrib (3, P), t_new (P, 1),
     cpexc (P, G) — the per-pair incoming transmittance, streamed out for the
     backward so it never re-runs the prefix-product scan)."""
     alpha, _, _, _, _, _ = _block_alpha(attr, px, py, base, cnt, g,
-                                        lane=masks[2])
+                                        lane=masks[2], basis=basis)
     # masked slots: alpha == 0
     excl, incl = _prefix_products(1.0 - alpha, g, masks)
     cpexc = tc * excl
@@ -229,6 +265,7 @@ def _fwd_kernel(boff_ref, cnt_ref, srcb_ref, attr_hbm, out_hbm, tchk_hbm,
         dma_attr(0, 0).start()
 
     masks = _scan_masks(g)
+    basis = _power_basis(tile_size, p) if FWD_POWER_MXU else None
 
     def tile_body(t, _):
         c0 = boff_ref[t]
@@ -267,7 +304,7 @@ def _fwd_kernel(boff_ref, cnt_ref, srcb_ref, attr_hbm, out_hbm, tchk_hbm,
             # loop carries and pay for both branches; do NOT reintroduce it.
             contrib, t_new, cpexc = _forward_block(attr_window(cur, blk), px,
                                                    py, b * g, cnt, tc, g,
-                                                   masks)
+                                                   masks, basis=basis)
             if store_cpx:
                 cslot = blk % 2
 
@@ -450,6 +487,7 @@ def _bwd_kernel(boff_ref, cnt_ref, tob_ref, bob_ref, srcb_ref, cpxb_ref,
           > jax.lax.broadcasted_iota(jnp.int32, (g, g), 1)
           ).astype(jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, g), 1)
+    pbasis = _power_basis(tile_size, p) if FWD_POWER_MXU else None
 
     # Moment basis over tile-local pixel coords — identical for every tile,
     # so built once outside the block loop (see _BWD_MOMENTS).
@@ -496,7 +534,7 @@ def _bwd_kernel(boff_ref, cnt_ref, tob_ref, bob_ref, srcb_ref, cpxb_ref,
 
         px, py = _pixel_coords(t, ntx, tile_size, p)
         alpha, alpha_raw, exp_power, dx, dy, (ca, cb, cc) = _block_alpha(
-            attr, px, py, base, cnt, g, lane=lane)
+            attr, px, py, base, cnt, g, lane=lane, basis=pbasis)
         dma_cpx(cur, b).wait()
         # Streamed from the forward: cpexc is exact (identical product
         # chain); cpincl re-derives as cpexc*(1-alpha) — a few-ulp
