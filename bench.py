@@ -18,6 +18,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from guassianhand_tpu.utils.jaxcache import enable_persistent_cache
+
+enable_persistent_cache()
+
 BASELINE_RAYS_PER_S = 512 * 512 * 100.0
 
 

@@ -48,15 +48,33 @@ from guassianhand_tpu.ops.common import ALPHA_MIN, ALPHA_MAX, T_EPS
 
 NEG_CLAMP = -30.0  # exp(-30) == 0 in fp32's useful range; masks garbage slots
 
-# Precision of the backward's suffix-sum matmul (P x G x G — the dominant
-# MXU cost; the 3xG matmuls stay HIGHEST). "highest" = 6-pass exact fp32;
-# "high" = 3-pass bf16x3 (~2^-22 relative — at the suffix's benign magnitude
-# range this is fp32-rounding-class noise). Env knob for A/B measurement.
+# Precision of the backward's suffix-sum matmul (P x G x G — the largest
+# MXU op in the backward; the 3xG matmuls stay HIGHEST). Default: HIGHEST
+# (6-pass exact fp32). GH_SUFFIX_BF16X3=1: manual 3-term bf16 split of the
+# `we` operand — the triangular 0/1 mask operand is EXACT in bf16, and
+# 3 x 8 mantissa bits reconstruct fp32's 24, so the 3 default-precision bf16
+# dots (fp32 accumulation) reproduce the exact product to ~2^-22 relative at
+# half the MXU passes. Mosaic does NOT support jax.lax.Precision.HIGH dots
+# (NotImplementedError at lowering, measured 2026-08-18), so the split is
+# done by hand instead of via the precision enum.
 import os as _os
-_SUFFIX_PRECISION = {"high": jax.lax.Precision.HIGH,
-                     "highest": jax.lax.Precision.HIGHEST}.get(
-                         _os.environ.get("GH_SUFFIX_PREC", "highest").lower(),
-                         jax.lax.Precision.HIGHEST)
+_SUFFIX_BF16X3 = _os.environ.get("GH_SUFFIX_BF16X3", "0") == "1"
+
+
+def _dot_bf16x3(a, b_bf16):
+    """a @ b via a 3-term bf16 split of fp32 ``a``; ``b_bf16`` must be exact
+    in bf16 (here: a 0/1 triangular mask). fp32 accumulation on the MXU."""
+    a1 = a.astype(jnp.bfloat16)
+    r1 = a - a1.astype(jnp.float32)
+    a2 = r1.astype(jnp.bfloat16)
+    a3 = (r1 - a2.astype(jnp.float32)).astype(jnp.bfloat16)
+    dn = (((1,), (0,)), ((), ()))
+
+    def d(x):
+        return jax.lax.dot_general(x, b_bf16, dn,
+                                   preferred_element_type=jnp.float32)
+
+    return d(a1) + d(a2) + d(a3)
 
 # GH_BWD_MOMENTS=1: compute the six per-pair gradient reductions (dopa, ddx,
 # ddy, da, db, dc) from ONE (8, P) x (P, G) moment matmul over the polynomial
@@ -486,6 +504,7 @@ def _bwd_kernel(boff_ref, cnt_ref, tob_ref, bob_ref, srcb_ref, cpxb_ref,
     ut = (jax.lax.broadcasted_iota(jnp.int32, (g, g), 0)
           > jax.lax.broadcasted_iota(jnp.int32, (g, g), 1)
           ).astype(jnp.float32)
+    ut_bf = ut.astype(jnp.bfloat16) if _SUFFIX_BF16X3 else None
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, g), 1)
     pbasis = _power_basis(tile_size, p) if FWD_POWER_MXU else None
 
@@ -553,10 +572,13 @@ def _bwd_kernel(boff_ref, cnt_ref, tob_ref, bob_ref, srcb_ref, cpxb_ref,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)  # (P, G)
         we = w * e
-        suffix = jax.lax.dot_general(
-            we, ut, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_SUFFIX_PRECISION)  # (P, G)
+        if _SUFFIX_BF16X3:
+            suffix = _dot_bf16x3(we, ut_bf)  # (P, G)
+        else:
+            suffix = jax.lax.dot_general(
+                we, ut, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)  # (P, G)
         r_i = suffix + r_in
         g_div = 1.0 - alpha
         live = acc * (alpha > 0.0).astype(jnp.float32)

@@ -7,11 +7,13 @@ Every arm's forward image and gradient norms are cross-checked against the
 base arm (a knob that silently broke on compiled Mosaic would otherwise
 still post a throughput number).
 
-Usage: timeout 3000 python scripts/bench_knobs.py [n_iters]
-Prints one JSON line per arm.
+Usage: timeout 3000 python scripts/bench_knobs.py [n_iters] [arm1,arm2,...]
+Prints one JSON line per arm. The optional second argument restricts the run
+to the named arms (base always runs first — it is the parity reference).
 """
 from __future__ import annotations
 
+import dataclasses
 import json
 import sys
 import time
@@ -69,19 +71,24 @@ def main():
     HI = jax.lax.Precision.HIGHEST
     LO = jax.lax.Precision.HIGH
     ARMS = [
-        ("base", False, False, HI),
-        ("moments", True, False, HI),
-        ("powermxu", False, True, HI),
-        ("mom+pow", True, True, HI),
-        ("suffix_high", False, False, LO),
-        ("all3", True, True, LO),
+        ("base", False, False, HI, True),
+        ("moments", True, False, HI, True),
+        ("powermxu", False, True, HI, True),
+        ("mom+pow", True, True, HI, True),
+        ("suffix_high", False, False, LO, True),
+        ("all3", True, True, LO, True),
+        ("unstable_sort", False, False, HI, False),
     ]
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
     ref_img = None
     ref_gnorms = None
-    for name, mom, pmxu, sprec in ARMS:
+    for name, mom, pmxu, sprec, stable in ARMS:
+        if only and name not in only and name != "base":
+            continue
         kern._BWD_MOMENTS = mom
         kern.FWD_POWER_MXU = pmxu
         kern._SUFFIX_PRECISION = sprec
+        cfg = dataclasses.replace(cfg, sort_stable=stable)
         try:
             step = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4)))
             fwd = jax.jit(lambda x: rasterize(
