@@ -18,12 +18,7 @@ CUDA/PyTorch codebase (XuanHuang0/GuassianHand):
 
 __version__ = "0.1.0"
 
-# Persistent XLA compilation cache: TPU compiles of the rasterizer grad
-# pipeline take minutes over a remote-device tunnel, and every CLI / bench /
-# parity entry point re-pays them without this. Guarded + env-disableable
-# (GH_JAX_CACHE=0); a no-op if the user configured a cache dir themselves.
-from guassianhand_tpu.utils.jaxcache import enable_persistent_cache as _epc
-
-_epc()
-del _epc
+# NOTE: importing this package has no side effects. Entry points (CLIs,
+# bench.py, scripts) opt into the persistent XLA compilation cache by calling
+# guassianhand_tpu.utils.jaxcache.enable_persistent_cache() themselves.
 

@@ -22,6 +22,8 @@ import numpy as np
 
 
 def main(argv=None):
+    from guassianhand_tpu.utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache()
     parser = argparse.ArgumentParser("guassianhand-tpu texture edit")
     parser.add_argument("--config", default=None)
     parser.add_argument("--image", default=None,

@@ -23,6 +23,8 @@ import yaml
 
 
 def main(argv=None):
+    from guassianhand_tpu.utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache()
     parser = argparse.ArgumentParser("guassianhand-tpu one-shot fitting")
     parser.add_argument("--config", default=None)
     parser.add_argument("--run_val", action="store_true")

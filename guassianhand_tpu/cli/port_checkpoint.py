@@ -21,6 +21,8 @@ import sys
 
 
 def main(argv=None):
+    from guassianhand_tpu.utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--torch_ckpt", required=True,
                         help="reference pretrain_model.ckpt (torch)")

@@ -16,6 +16,8 @@ import numpy as np
 
 
 def main(argv=None):
+    from guassianhand_tpu.utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache()
     parser = argparse.ArgumentParser("guassianhand-tpu 360 render")
     parser.add_argument("--config", default=None)
     parser.add_argument("--ckpt", default=None)

@@ -155,23 +155,17 @@ class OneShotAvatarModel(nn.Module):
                               self.map_bias[..., :s2]], axis=-1)
         return codes + mb[None]
 
-    def __call__(self, batch: Dict[str, Any], height: int, width: int,
-                 edit: EditConfig = EditConfig(),
+    def features(self, batch: Dict[str, Any],
                  identity_from_book: Optional[int] = None,
                  infer_identity: bool = False,
                  train: bool = False) -> Dict[str, Any]:
-        """height/width are static python ints (shape-determining under jit).
-
-        batch (all batched over B):
-          points        (B, N, 3)   posed query points (subdivided MANO verts)
-          points_tar    (B, N, 3)   target-pose points (defaults to points)
-          vert_uv       (B, N, 2)   packed-atlas UVs of the query points
-          inter_mask    (B, N)      bool interaction mask (ops.knn.interaction_mask)
-          mano_pose     (B, 96)     two-hand pose vector
-          c2w           (B, 4, 4), intrinsic_normed (B, 3, 3)
-          w2c_render    (B, V, 4, 4), K_render (B, V, 3/4, 3/4)
-          background    (B, 3)
-          height, width static ints (passed via self.apply kwargs)
+        """The full pre-render feature pipeline (infer_one_shot.py:196-291
+        through renderer_one_shot.py:548-574): embeddings -> point encoders
+        -> tokenizers -> backbones -> scene codes -> per-point hidden
+        features + interaction self-attention. Returns a dict with
+        ``hidden`` (B, N, 131) and the intermediates; ``__call__`` renders
+        from it. Exposed as a method so the whole-model port-parity test can
+        compare the composed forward against a torch reference elementwise.
         """
         c = self.cfg
         points = batch["points"]
@@ -230,6 +224,34 @@ class OneShotAvatarModel(nn.Module):
 
         hidden = self.self_attn_layer(hidden, mask=batch["inter_mask"],
                                       deterministic=not train)
+        return {"hidden": hidden, "codes": codes, "additional": additional,
+                "camera_feats": camera_feats, "pose_feats": pose_feats,
+                "id_vert": id_vert, "uv_n": uv_n, "points": points}
+
+    def __call__(self, batch: Dict[str, Any], height: int, width: int,
+                 edit: EditConfig = EditConfig(),
+                 identity_from_book: Optional[int] = None,
+                 infer_identity: bool = False,
+                 train: bool = False) -> Dict[str, Any]:
+        """height/width are static python ints (shape-determining under jit).
+
+        batch (all batched over B):
+          points        (B, N, 3)   posed query points (subdivided MANO verts)
+          points_tar    (B, N, 3)   target-pose points (defaults to points)
+          vert_uv       (B, N, 2)   packed-atlas UVs of the query points
+          inter_mask    (B, N)      bool interaction mask (ops.knn.interaction_mask)
+          mano_pose     (B, 96)     two-hand pose vector
+          c2w           (B, 4, 4), intrinsic_normed (B, 3, 3)
+          w2c_render    (B, V, 4, 4), K_render (B, V, 3/4, 3/4)
+          background    (B, 3)
+          height, width static ints (passed via self.apply kwargs)
+        """
+        points = batch["points"]
+        b = points.shape[0]
+        feats = self.features(batch, identity_from_book=identity_from_book,
+                              infer_identity=infer_identity, train=train)
+        hidden = feats["hidden"]
+        uv = batch["vert_uv"]
 
         query_points = batch.get("points_tar", points)
 

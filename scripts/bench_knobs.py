@@ -1,6 +1,6 @@
 """Multi-arm TPU bench for the rasterizer perf knobs, one process.
 
-The knobs (GH_BWD_MOMENTS, GH_FWD_POWER_MXU, GH_SUFFIX_PREC) are module
+The knobs (GH_BWD_MOMENTS, GH_FWD_POWER_MXU, GH_SUFFIX_BF16X3) are module
 constants read at trace time, so arms monkeypatch them and re-jit — the TPU
 client and the scene are built once, and each arm pays only its own compile.
 Every arm's forward image and gradient norms are cross-checked against the
@@ -33,6 +33,8 @@ BASELINE_RAYS_PER_S = 512 * 512 * 100.0
 
 
 def main():
+    from guassianhand_tpu.utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache()
     hw = 512
     n = 49152
     n_iters = int(sys.argv[1]) if len(sys.argv) > 1 else 20
@@ -68,26 +70,25 @@ def main():
                           .astype(np.float32)) for _ in range(n_iters)]
     jax.block_until_ready(varied)
 
-    HI = jax.lax.Precision.HIGHEST
-    LO = jax.lax.Precision.HIGH
+    # (name, _BWD_MOMENTS, FWD_POWER_MXU, _SUFFIX_BF16X3, sort_stable)
     ARMS = [
-        ("base", False, False, HI, True),
-        ("moments", True, False, HI, True),
-        ("powermxu", False, True, HI, True),
-        ("mom+pow", True, True, HI, True),
-        ("suffix_high", False, False, LO, True),
-        ("all3", True, True, LO, True),
-        ("unstable_sort", False, False, HI, False),
+        ("base", False, False, False, True),
+        ("moments", True, False, False, True),
+        ("powermxu", False, True, False, True),
+        ("mom+pow", True, True, False, True),
+        ("suffix_bf16x3", False, False, True, True),
+        ("all3", True, True, True, True),
+        ("unstable_sort", False, False, False, False),
     ]
     only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
     ref_img = None
     ref_gnorms = None
-    for name, mom, pmxu, sprec, stable in ARMS:
+    for name, mom, pmxu, bf16x3, stable in ARMS:
         if only and name not in only and name != "base":
             continue
         kern._BWD_MOMENTS = mom
         kern.FWD_POWER_MXU = pmxu
-        kern._SUFFIX_PRECISION = sprec
+        kern._SUFFIX_BF16X3 = bf16x3
         cfg = dataclasses.replace(cfg, sort_stable=stable)
         try:
             step = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4)))

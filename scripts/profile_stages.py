@@ -61,6 +61,8 @@ def timed(name, fn, varied):
 
 
 def main():
+    from guassianhand_tpu.utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache()
     cfg = RasterizeConfig()
     gs, cam, tgt, varied = make_inputs()
     print(f"[t] backend: {jax.devices()[0].platform}", flush=True)

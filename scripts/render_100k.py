@@ -19,6 +19,8 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
 def main():
+    from guassianhand_tpu.utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--views", type=int, default=8)
     ap.add_argument("--interpret", action="store_true",

@@ -50,6 +50,8 @@ def oracle_render(g, cam, hw, bg):
 
 
 def main():
+    from guassianhand_tpu.utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache()
     print(f"[t] backend: {jax.devices()[0].platform}", flush=True)
     hw = 96
     cam = make_camera(hw, hw)

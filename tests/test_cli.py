@@ -49,6 +49,37 @@ def test_fit_cli_synthetic_smoke(tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
+def test_edit_cli_smoke(tmp_path, monkeypatch):
+    """Edit CLI end-to-end (infer_one_shot_edit.py:548-636 counterpart):
+    the edit flags must reach the renderer's EditConfig and frames + a
+    checkpoint must be written."""
+    import guassianhand_tpu.render.renderer as renderer_mod
+    from guassianhand_tpu.cli import edit
+
+    captured = {}
+    real_edit_config = renderer_mod.EditConfig
+
+    def spy_edit_config(*a, **kw):
+        cfg = real_edit_config(*a, **kw)
+        if kw.get("enabled"):
+            captured["edit"] = cfg
+        return cfg
+
+    monkeypatch.setattr(renderer_mod, "EditConfig", spy_edit_config)
+
+    rc = edit.main(
+        ["--left-only", "--duplication", "--steps", "2", "--identity", "1",
+         f"out_dir={tmp_path}", "expname=esmoke"] + TINY_OVERRIDES)
+    assert rc == 0
+    assert captured["edit"].enabled
+    assert captured["edit"].edit_left_only
+    assert captured["edit"].duplication
+    run = tmp_path / "esmoke_edit"
+    assert (run / "vis" / "edit0000.png").exists()
+    assert (run / "ckpts" / "edit.ckpt").exists()
+
+
+@pytest.mark.slow
 def test_render_360_cli_smoke(tmp_path):
     from guassianhand_tpu.cli import render_360
 

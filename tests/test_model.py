@@ -134,6 +134,29 @@ def test_edit_and_identity_book_paths(setup):
                            np.asarray(booked["comp_rgb"]), atol=1e-6)
 
 
+def test_novel_pose_drive(setup, scene):
+    """Avatar drive: points_tar != points (infer_one_shot_edit.py drive path,
+    renderer_one_shot.py:577-579 — features from the reference pose, Gaussians
+    placed at the TARGET pose). The render must follow the target points."""
+    model, params, batch = setup
+    rng = np.random.RandomState(5)
+    pose_r = jnp.asarray(rng.uniform(-0.6, 0.6, 48), jnp.float32)
+    pose_l = jnp.asarray(rng.uniform(-0.6, 0.6, 48), jnp.float32)
+    target_points = scene.pose_points(pose_r, pose_l)
+
+    driven = dict(batch)
+    driven["points_tar"] = target_points[None]
+    base = model.apply(params, batch, HW, HW)
+    out = model.apply(params, driven, HW, HW)
+    assert np.isfinite(np.asarray(out["comp_rgb"])).all()
+    # Gaussians sit at the target pose, not the reference pose
+    n = scene.n_points
+    np.testing.assert_allclose(np.asarray(out["3dgs"].xyz[0, :n]),
+                               np.asarray(target_points), atol=0.02)
+    assert not np.allclose(np.asarray(base["comp_rgb"]),
+                           np.asarray(out["comp_rgb"]), atol=1e-5)
+
+
 def test_dropout_and_identity_infer():
     """VERDICT r1 item 9: SelfAttn dropout(0.1) active only in train mode, and
     the IdentityCodeInfer head wired into the identity-plane path."""
