@@ -42,10 +42,13 @@ class Gaussians:
         return self.xyz.shape[0]
 
     def effective_opacity(self) -> jax.Array:
-        """Opacity with padding slots zeroed."""
+        """Opacity with padding slots zeroed. Batch-safe: opacity (..., N, 1)
+        with valid (..., N) — `[..., None]`, NOT `[:, None]`, which under a
+        leading batch axis silently broadcast (B, N, 1) x (B, 1, N) and
+        dropped the mask."""
         if self.valid is None:
             return self.opacity
-        return self.opacity * self.valid.astype(self.opacity.dtype)[:, None]
+        return self.opacity * self.valid.astype(self.opacity.dtype)[..., None]
 
     def to_ply(self, path: str) -> None:
         """Export to a standard 3DGS .ply (inverse-sigmoid opacity, log scales).

@@ -68,6 +68,9 @@ class OneShotConfig:
     interaction_k: int = 100
     interaction_threshold: int = 10
     attn_dropout: float = 0.1        # self_attn.py:52-56 (train-mode only)
+    attn_dense: bool = False         # small-N dense attention with TRUE
+    # attention-probability dropout (self_attn.py:70-71) — exact reference
+    # training semantics; blockwise path uses output dropout instead
     identity_infer_tokens: int = 256  # IdentityCodeInfer token count
     backbone_scan: bool = False       # lax.scan over transformer blocks:
     # identical math, several-fold faster XLA compile of the full model
@@ -107,7 +110,8 @@ class OneShotAvatarModel(nn.Module):
             out_channels=c.scene_code_channels)
         self.additional_features_fc = AdditionalFeaturesFC(
             out_dim=c.additional_feature_dim)
-        self.self_attn_layer = SelfAttn(dropout=c.attn_dropout)
+        self.self_attn_layer = SelfAttn(dropout=c.attn_dropout,
+                                        dense=c.attn_dense)
         self.identity_code_infer = IdentityCodeInfer(
             code_dim=c.identity_channels, n_token=c.identity_infer_tokens)
         self.renderer = GSRenderer(cfg=c.renderer)
@@ -261,6 +265,35 @@ class OneShotAvatarModel(nn.Module):
         # refined/duplicated point re-projects through the mesh.
         tris = (batch["tri_xyz"], batch["tri_uv"]) \
             if "tri_xyz" in batch else (None, None)
+
+        if self.cfg.renderer.sharded_exchange:
+            from guassianhand_tpu.parallel.mesh import exchange_mesh
+            xmesh = exchange_mesh()
+            if xmesh is not None:
+                # Explicit Gaussian->tile all_to_all path (SURVEY §7.3):
+                # per-sample Gaussian build stays a vmap (local math); the
+                # batched views render through ONE shard_map exchange.
+                from guassianhand_tpu.parallel.raster_shard import (
+                    sharded_rasterize_batch)
+
+                def build_one(feats, pts, vuv, txyz, tuv):
+                    gs, uv2 = self.renderer.build_gaussians(
+                        feats, pts, vuv, tri_xyz=txyz, tri_uv=tuv)
+                    return self.renderer.apply_appearance(
+                        gs, uv2, self.color_w, self.xyz_b, self.color_b,
+                        self.opacity_b, edit)
+
+                gs_b = jax.vmap(build_one)(hidden, query_points, uv, *tris)
+                rout = sharded_rasterize_batch(
+                    gs_b, batch["w2c_render"], batch["K_render"],
+                    height=height, width=width, mesh=xmesh,
+                    background=batch.get("background", jnp.zeros((b, 3))),
+                    sh_degree=self.cfg.renderer.sh_degree,
+                    use_rgb=self.cfg.renderer.use_rgb,
+                    config=self.cfg.renderer.raster)
+                return {"comp_rgb": rout["comp_rgb"],
+                        "comp_mask": rout["comp_mask"], "3dgs": gs_b,
+                        "overflow": rout["overflow"], "points": points}
 
         def render_one(feats, pts, vuv, w2cs, Ks, bg, txyz, tuv):
             return self.renderer(

@@ -59,19 +59,26 @@ class PointOutLayer(nn.Module):
 
 
 class ImageFeature(nn.Module):
-    """Per-pixel feature assembly: RGB + upsampled tokens + mask (+ distance
-    channel slot), image_feature.py:10-52. Returns (B, H, W, out_dim)."""
+    """Per-pixel feature assembly: RGB(3) + upsampled tokens(768) + mask(1)
+    + chamfer distance-transform channel(1) = 773, the reference's exact
+    layout (image_feature.py:10-52, distance channel via
+    tgs/utils/ops.py:444-452). Returns (B, H, W, out_dim)."""
 
     out_dim: int = 773
 
     @nn.compact
     def __call__(self, rgb, tokens, mask):
+        from guassianhand_tpu.ops.distance_transform import (
+            mask_distance_channel)
+
         b, h, w, _ = rgb.shape
         n = tokens.shape[1]
         side = int(n ** 0.5)
         tok = tokens[:, : side * side].reshape(b, side, side, -1)
         tok = jax.image.resize(tok, (b, h, w, tok.shape[-1]), "bilinear")
-        feat = jnp.concatenate([rgb, tok, mask[..., None]], axis=-1)
+        dist = mask_distance_channel(mask)  # (B, H, W)
+        feat = jnp.concatenate(
+            [rgb, tok, mask[..., None], dist[..., None]], axis=-1)
         if feat.shape[-1] < self.out_dim:
             feat = jnp.pad(feat, ((0, 0),) * 3
                            + ((0, self.out_dim - feat.shape[-1]),))

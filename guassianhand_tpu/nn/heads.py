@@ -152,11 +152,17 @@ class SelfAttn(nn.Module):
     attention over the interacting set with static shapes via blockwise
     online-softmax attention (ops/blockwise_attention.py), so memory stays
     O(N * chunk) at any sequence length; masked rows pass through unchanged.
+
+    ``dense=True`` switches to materialized (N, N) attention with TRUE
+    attention-probability dropout after the softmax (self_attn.py:70-71
+    dropout1) — the reference's exact training semantics. O(N^2) memory, so
+    it is the small-N fallback; eval-mode outputs equal the blockwise path.
     """
 
     n_heads: int = 4
     chunk_size: int = 2048
     dropout: float = 0.1   # self_attn.py:52-56, active during fitting
+    dense: bool = False    # materialized attention + prob dropout
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True):
@@ -170,17 +176,28 @@ class SelfAttn(nn.Module):
         q = nn.Dense(self.n_heads * d)(h).reshape(b, n, self.n_heads, d)
         k = nn.Dense(self.n_heads * d)(h).reshape(b, n, self.n_heads, d)
         v = nn.Dense(self.n_heads * d)(h).reshape(b, n, self.n_heads, d)
-        chunk = min(self.chunk_size, max(128, n))
-        o = jax.vmap(
-            lambda qq, kk, vv, mm: blockwise_attention(
-                qq, kk, vv, mm, q_chunk=chunk, k_chunk=chunk)
-        )(q, k, v, mask if mask is not None
-          else jnp.ones((b, n), bool))
+        mm = mask if mask is not None else jnp.ones((b, n), bool)
+        if self.dense:
+            att = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
+                jnp.float32(d))
+            att = jnp.where(mm[:, None, None, :], att, -1e9)
+            att = jax.nn.softmax(att, axis=-1)
+            if self.dropout > 0.0:
+                # dropout on the attention PROBABILITIES (self_attn.py:70-71)
+                att = nn.Dropout(self.dropout)(att,
+                                               deterministic=deterministic)
+            o = jnp.einsum("bhqk,bkhd->bqhd", att, v)
+        else:
+            chunk = min(self.chunk_size, max(128, n))
+            o = jax.vmap(
+                lambda qq, kk, vv, m: blockwise_attention(
+                    qq, kk, vv, m, q_chunk=chunk, k_chunk=chunk)
+            )(q, k, v, mm)
         o = nn.Dense(f)(o.reshape(b, n, self.n_heads * d))
         if self.dropout > 0.0:
-            # the reference's dropout2 on the attention output (the
-            # attention-prob dropout1 does not compose with the blockwise
-            # online softmax; output dropout carries the regularization)
+            # the reference's dropout2 on the attention output (in blockwise
+            # mode the prob-dropout does not compose with the online
+            # softmax; output dropout carries the regularization there)
             o = nn.Dropout(self.dropout)(o, deterministic=deterministic)
         x = x + o
         x = MLPResBlock(hid_dim=f, dropout=self.dropout)(

@@ -50,6 +50,31 @@ def make_mesh(n_data: Optional[int] = None, n_model: Optional[int] = None,
     return Mesh(arr, ("data", "model"))
 
 
+# --- explicit-exchange context -------------------------------------------
+# The renderer lives deep inside the flax model and cannot take a Mesh
+# argument through the batch; the sharded fit step publishes its mesh here
+# (trace-time context, captured into the jitted computation) and the
+# renderer opts in via RendererConfig.sharded_exchange.
+_EXCHANGE_MESH: list = [None]
+
+
+def exchange_mesh() -> Optional[Mesh]:
+    return _EXCHANGE_MESH[-1]
+
+
+class use_exchange_mesh:
+    def __init__(self, mesh: Optional[Mesh]):
+        self.mesh = mesh
+
+    def __enter__(self):
+        _EXCHANGE_MESH.append(self.mesh)
+        return self.mesh
+
+    def __exit__(self, *exc):
+        _EXCHANGE_MESH.pop()
+        return False
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -32,6 +32,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
@@ -39,6 +40,7 @@ from jax.experimental.shard_map import shard_map
 
 from guassianhand_tpu.core.camera import Camera
 from guassianhand_tpu.core.gaussians import Gaussians
+from guassianhand_tpu.core import sh as sh_lib
 import importlib
 
 from guassianhand_tpu.ops import binning as binning_lib
@@ -212,3 +214,215 @@ def sharded_rasterize(gaussians: Gaussians, camera: Camera, *, height: int,
                                 gaussians.shs[:, 0, :])
     return {"comp_rgb": rgb[:height], "comp_mask": mask[:height],
             "final_t": final_t[:height], "overflow": jnp.sum(ov)}
+
+
+def sharded_rasterize_batch(gaussians: Gaussians, w2cs, Ks, *, height: int,
+                            width: int, mesh: Mesh, background=None,
+                            sh_degree: int = 3, use_rgb: bool = True,
+                            config: RasterizeConfig = RasterizeConfig(),
+                            exchange_capacity: Optional[int] = None):
+    """Batched multiview render through the explicit Gaussian->tile
+    all_to_all exchange — the full-model path of SURVEY.md §7.3 (the
+    single-view ``sharded_rasterize`` above is the minimal didactic variant).
+
+    gaussians: arrays batched (B, N, ...); w2cs (B, V, 4, 4); Ks (B, V, 3/4,
+    3/4); background (B, 3). B shards over the mesh's ``data`` axis, the
+    Gaussian axis over ``model``. Supports RGB-precomputed and SH colors.
+
+    Per data shard, the B_local x V views stack vertically on one canvas
+    (like ops.rasterize.rasterize_multiview) and its tiles are owned
+    CYCLICALLY over ``model`` (owner = tile % n_model) — no
+    rows-divide-devices constraint, and spatially-concentrated hands spread
+    over devices instead of hot-sharding one row band (SURVEY §7.5.5). Each
+    device projects its Gaussian shard for every (b, v), enumerates pairs
+    (shared opacity cull), remaps each pair's screen coords to tile-local
+    frame, and ONE jax.lax.all_to_all delivers pair attribute values to the
+    owning device, which depth-sorts and composites its tiles as a 1-row
+    local canvas. Gradients flow through the all_to_all transpose into the
+    owning shard's Gaussians. Returns comp_rgb (B, V, H, W, 3), comp_mask /
+    final_t (B, V, H, W), overflow.
+    """
+    n_model = mesh.shape["model"]
+    n_data = mesh.shape.get("data", 1)
+    b, n = gaussians.xyz.shape[:2]
+    v = w2cs.shape[1]
+    assert b % n_data == 0, (b, n_data)
+    assert n % n_model == 0, (n, n_model)
+    bl = b // n_data
+    n_loc = n // n_model
+    m = config.max_tiles_per_gaussian
+    ts = config.tile_size
+    g = config.block_size
+    ntx, nty_band = binning_lib.grid_dims(height, width, ts)
+    band_h = nty_band * ts
+    bands = bl * v                       # canvases stacked per data shard
+    num_tiles = bands * nty_band * ntx   # global tiles per data shard
+    tpd = -(-num_tiles // n_model)       # cyclic ownership, padded
+    cap = exchange_capacity or _round_up(bl * v * n_loc * m, 8)
+
+    if background is None:
+        background = jnp.zeros((b, 3), jnp.float32)
+    background = jnp.asarray(background, jnp.float32)
+    eff_opacity = gaussians.effective_opacity()[..., 0]  # (B, N)
+
+    def local(xyz, scaling, rotation, opacity, shs, w2cs_l, Ks_l):
+        # xyz (bl, n_loc, 3), opacity (bl, n_loc), shs (bl, n_loc, K, 3),
+        # w2cs_l (bl, V, 4, 4)
+        d = jax.lax.axis_index("model")
+
+        mean2ds, conics, colors, depths, radii, viss = [], [], [], [], [], []
+        for i in range(bl):  # static, small
+            def proj_one(w2c, K):
+                cam = Camera.from_w2c(w2c, K, height, width)
+                proj = project_gaussians(
+                    xyz[i], scaling[i], rotation[i], cam,
+                    scale_modifier=config.scale_modifier,
+                    znear=config.znear, zfar=config.zfar)
+                if use_rgb:
+                    color = shs[i][:, 0, :]
+                else:
+                    dirs = xyz[i] - cam.camera_center()[None, :]
+                    dirs = dirs / jnp.maximum(
+                        jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-9)
+                    color = sh_lib.eval_sh(sh_degree, shs[i], dirs)
+                return proj, color
+
+            projs, cols = jax.vmap(proj_one)(w2cs_l[i], Ks_l[i])  # (V, n_loc)
+            yoff = ((jnp.arange(v, dtype=jnp.float32) + i * v)
+                    * band_h)[:, None]
+            mean2ds.append(jnp.stack(
+                [projs.mean2d[..., 0], projs.mean2d[..., 1] + yoff],
+                axis=-1).reshape(v * n_loc, 2))
+            conics.append(projs.conic.reshape(v * n_loc, 3))
+            colors.append(cols.reshape(v * n_loc, 3))
+            depths.append(projs.depth.reshape(v * n_loc))
+            radii.append(projs.radius.reshape(v * n_loc))
+            viss.append(projs.visible.reshape(v * n_loc))
+
+        mean2d = jnp.concatenate(mean2ds)      # (R, 2), R = bl*v*n_loc
+        conic = jnp.concatenate(conics)
+        color = jnp.concatenate(colors)
+        depth = jnp.concatenate(depths)
+        radius = jnp.concatenate(radii)
+        visible = jnp.concatenate(viss)
+        op_flat = jnp.broadcast_to(opacity[:, None, :],
+                                   (bl, v, n_loc)).reshape(-1)
+        r = mean2d.shape[0]
+
+        band_lo = (jnp.arange(r, dtype=jnp.int32) // n_loc) * nty_band
+        tile_flat, overflow_enum = binning_lib.enumerate_tiles(
+            mean2d, radius, visible,
+            height=bands * band_h, width=width, cfg=config.binning(),
+            y_band=(band_lo, band_lo + nty_band),
+            opacity=op_flat if config.opacity_cull else None)  # (R*M,)
+
+        pair_valid = tile_flat < num_tiles
+        owner = jnp.where(pair_valid, tile_flat % n_model, n_model)
+
+        # sender-side remap to tile-local coords: the receiver lays its
+        # owned tiles out as a 1-row local grid, so only the offset WITHIN
+        # the tile survives the exchange
+        t_safe = jnp.minimum(tile_flat, num_tiles - 1)
+        ox = (t_safe % ntx * ts).astype(jnp.float32)
+        oy = (t_safe // ntx * ts).astype(jnp.float32)
+        gidx_flat = jnp.broadcast_to(
+            jnp.arange(r, dtype=jnp.int32)[:, None], (r, m)).reshape(-1)
+        depth_flat = jax.lax.stop_gradient(depth)[gidx_flat]
+
+        # ---- bucket by owner, pad to the static per-(src, dst) capacity
+        order = jnp.argsort(owner, stable=True)
+        owner_s = owner[order]
+        boundary = jnp.concatenate(
+            [jnp.ones((1,), bool), owner_s[1:] != owner_s[:-1]])
+        pos = jnp.arange(owner_s.shape[0], dtype=jnp.int32)
+        run_start = jax.lax.cummax(jnp.where(boundary, pos, 0))
+        rank = pos - run_start
+        slot = jnp.where((owner_s < n_model) & (rank < cap),
+                         owner_s * cap + rank, n_model * cap)
+        dropped = jnp.sum(((owner_s < n_model) & (rank >= cap)
+                           ).astype(jnp.int32))
+
+        def send_of(flat_vals, fill=0.0):
+            buf = jnp.full((n_model * cap + 1,), fill, flat_vals.dtype)
+            return buf.at[slot].set(flat_vals[order],
+                                    mode="drop")[:-1].reshape(n_model, cap)
+
+        def send_gauss(per_g):
+            return send_of(per_g[gidx_flat])
+
+        send = {
+            "x": send_of(mean2d[gidx_flat, 0] - ox),
+            "y": send_of(mean2d[gidx_flat, 1] - oy),
+            "ca": send_gauss(conic[:, 0]),
+            "cb": send_gauss(conic[:, 1]),
+            "cc": send_gauss(conic[:, 2]),
+            "r": send_gauss(color[:, 0]),
+            "g": send_gauss(color[:, 1]),
+            "b": send_gauss(color[:, 2]),
+            "op": send_gauss(op_flat),
+            "tile": send_of(tile_flat, fill=jnp.int32(-1)),
+            "depth": send_of(depth_flat),
+        }
+        recv = jax.tree_util.tree_map(
+            lambda a: jax.lax.all_to_all(a, "model", 0, 0), send)
+
+        # ---- received pairs == virtual Gaussians on the 1-row local grid
+        np_recv = n_model * cap
+        rtile = recv["tile"].reshape(np_recv)
+        rlive = rtile >= 0
+        rslot = jnp.where(rlive, rtile // n_model, tpd).astype(jnp.int32)
+        mean2d_r = jnp.stack(
+            [recv["x"].reshape(np_recv)
+             + (rslot % jnp.int32(tpd) * ts).astype(jnp.float32),
+             recv["y"].reshape(np_recv)], axis=1)
+        conic_r = jnp.stack([recv["ca"].reshape(np_recv),
+                             recv["cb"].reshape(np_recv),
+                             recv["cc"].reshape(np_recv)], axis=1)
+        color_r = jnp.stack([recv["r"].reshape(np_recv),
+                             recv["g"].reshape(np_recv),
+                             recv["b"].reshape(np_recv)], axis=1)
+        op_r = recv["op"].reshape(np_recv)
+        rdepth = jax.lax.stop_gradient(recv["depth"].reshape(np_recv))
+
+        cfg_band = dataclasses.replace(config, max_tiles_per_gaussian=1,
+                                       pairs_per_gaussian=1.0)
+        rgb, final_t, _n_pairs, ov_c = raster_lib._composite(
+            mean2d_r, conic_r, color_r, op_r, rslot, rdepth,
+            ts, tpd * ts, cfg_band)
+        # (ts, tpd*ts, .) -> owned tiles (tpd, ts, ts, .)
+        tiles_rgb = rgb.reshape(ts, tpd, ts, 3).transpose(1, 0, 2, 3)
+        tiles_t = final_t.reshape(ts, tpd, ts).transpose(1, 0, 2)
+        ov = (dropped + overflow_enum + ov_c).astype(jnp.int32)
+        return tiles_rgb, tiles_t, ov[None]
+
+    data_axis = "data" if "data" in mesh.shape else None
+    gspec = P(data_axis, "model")
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(gspec, gspec, gspec, gspec, gspec,
+                  P(data_axis), P(data_axis)),
+        out_specs=(P((data_axis, "model") if data_axis else ("model",)),) * 3,
+        check_rep=False)
+    tiles_rgb, tiles_t, ov = fn(
+        gaussians.xyz, gaussians.scaling, gaussians.rotation, eff_opacity,
+        gaussians.shs, w2cs, Ks)
+    # tiles_rgb: (n_data * n_model * tpd, ts, ts, 3), device-major per shard
+
+    # static un-permutation: data shard di, canvas tile t lives at
+    # di*(n_model*tpd) + (t % n_model)*tpd + t//n_model
+    t_ids = np.arange(num_tiles)
+    pos = (t_ids % n_model) * tpd + t_ids // n_model
+    idx = (np.arange(n_data)[:, None] * (n_model * tpd)
+           + pos[None, :]).reshape(-1)
+
+    def assemble(tiles, c):
+        x = tiles[idx].reshape(n_data, bl, v, nty_band, ntx, ts, ts, c)
+        x = x.transpose(0, 1, 2, 3, 5, 4, 6, 7).reshape(
+            b, v, band_h, ntx * ts, c)
+        return x[:, :, :height, :width]
+
+    rgb = assemble(tiles_rgb, 3)
+    final_t = assemble(tiles_t[..., None], 1)[..., 0]
+    rgb = rgb + final_t[..., None] * background[:, None, None, None, :]
+    return {"comp_rgb": rgb, "comp_mask": 1.0 - final_t, "final_t": final_t,
+            "overflow": jnp.sum(ov)}

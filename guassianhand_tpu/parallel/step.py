@@ -6,9 +6,14 @@ Builds the jitted fit step with explicit shardings over a 2D mesh:
 - params/optimizer state replicated; gradient reduction falls out of jit
   partitioning as psums over both axes (overlapped with backward by XLA).
 
-This is the TPU answer to the reference's DDP (SURVEY.md §2.7/§7.3); the
-"Gaussian <-> tile all_to_all" of the rasterizer happens inside the jitted
-composite via XLA's resharding of the sorted pair arrays.
+This is the TPU answer to the reference's DDP (SURVEY.md §2.7/§7.3). The
+"Gaussian <-> tile all_to_all" of the rasterizer has two routes: the
+implicit one (XLA reshards the sorted pair arrays inside the jitted
+composite) and the EXPLICIT shard_map exchange
+(parallel.raster_shard.sharded_rasterize_batch) — the step publishes its
+mesh via use_exchange_mesh during tracing, and a model whose
+RendererConfig.sharded_exchange is set renders through the exchange
+whenever the model axis is wider than one device.
 """
 from __future__ import annotations
 
@@ -18,6 +23,7 @@ import jax
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from guassianhand_tpu.parallel.mesh import use_exchange_mesh
 from guassianhand_tpu.train.fit import FitConfig
 from guassianhand_tpu.train.losses import compute_error, identity_regularizers
 
@@ -43,7 +49,10 @@ def make_sharded_fit_step(model_apply: Callable, optimizer,
     """model_apply(params, batch) -> out dict (same contract as train.fit)."""
 
     def loss_fn(params, batch):
-        out = model_apply(params, batch)
+        # trace-time context: lets RendererConfig.sharded_exchange models
+        # route their render through the explicit all_to_all exchange
+        with use_exchange_mesh(mesh if mesh.shape["model"] > 1 else None):
+            out = model_apply(params, batch)
         total, err = compute_error(
             out["comp_rgb"][:, 0], batch["target_rgb"],
             out["comp_mask"][:, 0], batch["target_mask"],

@@ -54,6 +54,12 @@ class RendererConfig:
     sh_degree: int = 3
     use_rgb: bool = True
     multiview_batched: bool = True  # one binning+kernel launch for all views
+    # Render through the EXPLICIT Gaussian->tile all_to_all exchange
+    # (parallel.raster_shard.sharded_rasterize_batch) instead of letting XLA
+    # reshard the sorted pair arrays implicitly. Takes effect only when a
+    # mesh is active via parallel.mesh.use_exchange_mesh (set by
+    # parallel.step.make_sharded_fit_step when the model axis > 1).
+    sharded_exchange: bool = False
     # Re-project every (possibly refined/duplicated) point's UV through the
     # posed UV mesh via mano.uv.get_uvd, exactly like the reference's
     # per-forward re-projection (renderer_one_shot.py:481-487). Off by

@@ -47,3 +47,35 @@ def test_blockwise_no_mask_and_grads():
                                k_chunk=64)
     assert np.isfinite(np.asarray(out0)).all()
     np.testing.assert_allclose(np.asarray(out0), 0.0, atol=1e-6)
+
+
+def test_self_attn_dense_prob_dropout_path():
+    """SelfAttn(dense=True) — the true attention-probability-dropout
+    fallback (self_attn.py:70-71): eval-mode output equals the blockwise
+    path exactly (same params), and train mode actually drops probs."""
+    import jax
+    from guassianhand_tpu.nn.heads import SelfAttn
+
+    rng = np.random.RandomState(0)
+    b, n, f = 2, 96, 32
+    x = jnp.asarray(rng.normal(size=(b, n, f)), jnp.float32)
+    mask = jnp.asarray(rng.uniform(size=(b, n)) > 0.4)
+
+    block = SelfAttn(n_heads=4, dropout=0.1)
+    dense = SelfAttn(n_heads=4, dropout=0.1, dense=True)
+    params = block.init(jax.random.PRNGKey(0), x, mask)
+
+    out_b = block.apply(params, x, mask, deterministic=True)
+    out_d = dense.apply(params, x, mask, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_b),
+                               atol=2e-5, rtol=1e-4)
+    # masked rows pass through unchanged
+    np.testing.assert_array_equal(
+        np.asarray(out_d)[~np.asarray(mask)], np.asarray(x)[~np.asarray(mask)])
+
+    t1 = dense.apply(params, x, mask, deterministic=False,
+                     rngs={"dropout": jax.random.PRNGKey(1)})
+    t2 = dense.apply(params, x, mask, deterministic=False,
+                     rngs={"dropout": jax.random.PRNGKey(2)})
+    assert not np.allclose(np.asarray(t1), np.asarray(t2))
+    assert np.isfinite(np.asarray(t1)).all()

@@ -227,6 +227,55 @@ def test_port_dinov2_backbone():
     check(shapes, params)
 
 
+def test_image_feature_distance_transform_matches_cv2():
+    """ImageFeature port proof (VERDICT r2 item 6): the distance-transform
+    channel must match the reference's exact computation
+    (tgs/utils/ops.py:444-452: cv2.distanceTransform(1 - mask, DIST_L2,
+    DIST_MASK_3) / (W/2), clip [0,1]), and the full 773-channel per-pixel
+    assembly (image_feature.py:10-52) must match a torch replica."""
+    import cv2
+    import torch
+    import torch.nn.functional as F
+    from guassianhand_tpu.models.point_generator import ImageFeature
+    from guassianhand_tpu.ops.distance_transform import mask_distance_channel
+
+    rng = np.random.RandomState(0)
+    h = w = 56
+    # blobby mask
+    yy, xx = np.mgrid[:h, :w]
+    mask = np.zeros((h, w), np.uint8)
+    for _ in range(3):
+        cy, cx, r = rng.randint(8, h - 8), rng.randint(8, w - 8), rng.randint(3, 9)
+        mask |= ((yy - cy) ** 2 + (xx - cx) ** 2 < r * r).astype(np.uint8)
+
+    want = cv2.distanceTransform(1 - mask, distanceType=cv2.DIST_L2,
+                                 maskSize=cv2.DIST_MASK_3) / (w / 2)
+    want = np.clip(want, 0, 1)
+    got = np.asarray(mask_distance_channel(jnp.asarray(mask)[None]))[0]
+    np.testing.assert_allclose(got, want, atol=2e-3)
+
+    # full 773-ch assembly vs a torch replica of image_feature.py
+    side, c_tok = 4, 768
+    rgb = rng.uniform(0, 1, (1, h, w, 3)).astype(np.float32)
+    tokens = rng.normal(size=(1, side * side + 1, c_tok)).astype(np.float32)
+
+    feat = ImageFeature().apply(
+        {}, jnp.asarray(rgb), jnp.asarray(tokens),
+        jnp.asarray(mask.astype(np.float32))[None])
+    assert feat.shape == (1, h, w, 773)
+
+    tok_t = torch.from_numpy(
+        tokens[:, : side * side].reshape(1, side, side, c_tok)
+    ).permute(0, 3, 1, 2)
+    tok_up = F.interpolate(tok_t, size=(h, w), mode="bilinear",
+                           align_corners=False)
+    want_feat = np.concatenate(
+        [rgb.transpose(0, 3, 1, 2), tok_up.numpy(),
+         mask.astype(np.float32)[None, None], want[None, None]], axis=1)
+    np.testing.assert_allclose(
+        np.asarray(feat).transpose(0, 3, 1, 2), want_feat, atol=2e-3)
+
+
 def test_transformer1d_port_matches_torch_forward(tmp_path):
     """Numeric proof of the Transformer1D port: a torch replica of the
     reference stack (transformers.py:673-908 structure + diffusers

@@ -60,6 +60,49 @@ def test_sharded_step_matches_unsharded():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_step_with_explicit_exchange_matches_unsharded():
+    """Full-model sharded fit step THROUGH the explicit all_to_all exchange
+    (VERDICT r2 item 3): loss and updated params == the unsharded step."""
+    import dataclasses
+
+    scene = SyntheticHandScene.build(n_vertices=64, subdivide=1, height=HW,
+                                     width=HW)
+    b1 = synthetic_batch(scene, seed=0, raster=RASTER)
+    batch = jax.tree_util.tree_map(
+        lambda x: jnp.concatenate([x, x], axis=0), b1)
+
+    cfg = dataclasses.replace(
+        CFG, renderer=dataclasses.replace(CFG.renderer,
+                                          sharded_exchange=True))
+    model = OneShotAvatarModel(cfg=cfg)
+    params = model.init(jax.random.PRNGKey(0), b1, HW, HW)
+    fit_cfg = FitConfig(weights=LossWeights(vgg=0.0))
+    optimizer = make_optimizer(params, fit_cfg)
+    opt_state = optimizer.init(params)
+
+    def model_apply(p, b):
+        return model.apply(p, b, HW, HW)
+
+    # unsharded reference: no exchange mesh -> ordinary multiview path
+    ref_step = make_fit_step(model_apply, None, optimizer, fit_cfg)
+    p_ref, _, loss_ref, _ = ref_step(jax.tree.map(jnp.copy, params),
+                                     jax.tree.map(jnp.copy, opt_state), batch)
+
+    mesh = make_mesh(n_data=2)
+    with mesh:
+        sbatch = shard_batch(batch, mesh)
+        step = make_sharded_fit_step(model_apply, optimizer, mesh,
+                                     cfg=fit_cfg)
+        p_sh, _, loss_sh, _ = step(params, opt_state, sbatch)
+
+    np.testing.assert_allclose(float(loss_sh), float(loss_ref), rtol=1e-4)
+    for name in ("color_w", "opacity_b", "map_bias"):
+        np.testing.assert_allclose(
+            np.asarray(p_ref["params"][name]), np.asarray(p_sh["params"][name]),
+            atol=1e-5, err_msg=name)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_sharded_rasterize_matches_unsharded():
     """Explicit Gaussian->tile all_to_all exchange (VERDICT r1 item 5):
     sharded render and input gradients == the single-device rasterizer, and
@@ -114,6 +157,71 @@ def test_sharded_rasterize_matches_unsharded():
         scale = np.abs(b).max() + 1e-12
         np.testing.assert_allclose(a, b, atol=1e-4 * scale, rtol=1e-3,
                                    err_msg=f"sharded grad mismatch {name}")
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_rasterize_batch_multiview_sh():
+    """Batched exchange (VERDICT r2 item 3): the all_to_all path must cover
+    the stacked-canvas multiview AND SH-color modes, batch sharded over data
+    and Gaussians over model, outputs + grads == rasterize_multiview."""
+    from guassianhand_tpu.ops.rasterize import rasterize_multiview
+    from guassianhand_tpu.parallel.raster_shard import sharded_rasterize_batch
+    from tests.utils import make_camera, make_gaussians
+
+    hw, B, V = 48, 2, 2  # 48px -> 3 tile rows: indivisible by model=4
+    mesh = make_mesh(n_data=2)
+    cfg = RasterizeConfig(interpret=True, max_tiles_per_gaussian=8)
+    cam = make_camera(hw, hw)
+    rng = np.random.RandomState(0)
+
+    gs_list = [make_gaussians(128, seed=7 + i, sh_degree=1) for i in range(B)]
+    g = jax.tree.map(lambda *xs: jnp.stack(xs), *gs_list)
+    w2c2 = np.asarray(cam.w2c).copy()
+    w2c2[0, 3] += 0.05
+    w2cs = jnp.asarray(np.stack([np.asarray(cam.w2c), w2c2]))[None].repeat(
+        B, axis=0)  # (B, V, 4, 4)
+    Ks = jnp.broadcast_to(jnp.asarray(cam.K), (B, V, 3, 3))
+    bg = jnp.asarray(rng.uniform(0, 1, (B, 3)), jnp.float32)
+
+    def ref_render(gb):
+        return jax.vmap(
+            lambda gg, w, k, bgi: rasterize_multiview(
+                gg, w, k, height=hw, width=hw, background=bgi,
+                sh_degree=1, use_rgb=False, config=cfg)["comp_rgb"]
+        )(gb, w2cs, Ks, bg)
+
+    with mesh:
+        out = sharded_rasterize_batch(
+            g, w2cs, Ks, height=hw, width=hw, mesh=mesh, background=bg,
+            sh_degree=1, use_rgb=False, config=cfg)
+    want = ref_render(g)
+    assert int(out["overflow"]) == 0
+    np.testing.assert_allclose(np.asarray(out["comp_rgb"]), np.asarray(want),
+                               atol=1e-5)
+
+    tgt = jnp.asarray(rng.uniform(0, 1, (B, V, hw, hw, 3)), jnp.float32)
+
+    def loss_sh(xyz, shs):
+        gg = g.__class__(xyz=xyz, opacity=g.opacity, rotation=g.rotation,
+                         scaling=g.scaling, shs=shs)
+        with mesh:
+            o = sharded_rasterize_batch(
+                gg, w2cs, Ks, height=hw, width=hw, mesh=mesh, background=bg,
+                sh_degree=1, use_rgb=False, config=cfg)
+        return jnp.abs(o["comp_rgb"] - tgt).mean()
+
+    def loss_ref(xyz, shs):
+        gg = g.__class__(xyz=xyz, opacity=g.opacity, rotation=g.rotation,
+                         scaling=g.scaling, shs=shs)
+        return jnp.abs(ref_render(gg) - tgt).mean()
+
+    gs_s = jax.grad(loss_sh, argnums=(0, 1))(g.xyz, g.shs)
+    gs_r = jax.grad(loss_ref, argnums=(0, 1))(g.xyz, g.shs)
+    for name, a, bb in zip(["xyz", "shs"], gs_s, gs_r):
+        a, bb = np.asarray(a), np.asarray(bb)
+        scale = np.abs(bb).max() + 1e-12
+        np.testing.assert_allclose(a, bb, atol=1e-4 * scale, rtol=1e-3,
+                                   err_msg=f"batched sharded grad {name}")
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
