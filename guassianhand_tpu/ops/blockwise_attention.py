@@ -47,6 +47,14 @@ def blockwise_attention(q, k, v, mask=None, q_chunk: int = 2048,
 
     def per_q_chunk(q_blk):
         # q_blk: (q_chunk, h, d)
+        # jax.checkpoint is LOAD-BEARING for memory, not a tuning knob:
+        # without it, autodiff saves every block's probability matrix p
+        # (h, q_chunk, k_chunk) across both the k-scan and the q-map — i.e.
+        # the FULL (N, N) attention matrix (measured: 2 x 4 GB HBM buffers
+        # at N=15404, an OOM on one v5e) — exactly what online softmax
+        # exists to avoid. Rematerializing s and p in the backward (the
+        # flash-attention backward) keeps residuals at the O(q_chunk) carry.
+        @jax.checkpoint
         def body(carry, inp):
             m_run, l_run, acc = carry
             k_blk, v_blk, km = inp

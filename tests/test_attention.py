@@ -79,3 +79,34 @@ def test_self_attn_dense_prob_dropout_path():
                      rngs={"dropout": jax.random.PRNGKey(2)})
     assert not np.allclose(np.asarray(t1), np.asarray(t2))
     assert np.isfinite(np.asarray(t1)).all()
+
+
+def test_blockwise_attention_grad_memory_is_sublinear():
+    """The flash-style backward must REMATERIALIZE block probabilities, not
+    save them: without jax.checkpoint on the k-scan body, autodiff residuals
+    hold the full (N, N) attention matrix (h*n*n*4 B ~= 1 GB here; measured
+    2 x 4 GB HBM buffers / v5e OOM at the real 15.4k-point fit workload).
+    Guard via compiled memory analysis: temp must stay far below that."""
+    import jax
+
+    n, h, d = 8192, 4, 32
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.normal(size=(n, h, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(n, h, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(n, h, d)), jnp.float32)
+    mask = jnp.asarray(rng.uniform(size=(n,)) > 0.3)
+
+    def loss(q, k, v):
+        return blockwise_attention(q, k, v, mask,
+                                   q_chunk=1024, k_chunk=1024).sum()
+
+    compiled = jax.jit(jax.grad(loss, argnums=(0, 1, 2))).lower(
+        q, k, v).compile()
+    temp = compiled.memory_analysis().temp_size_in_bytes
+    full_matrix = h * n * n * 4
+    assert temp < 0.3 * full_matrix, (
+        f"attention backward residuals grew to {temp/1e6:.0f} MB "
+        f"(full-matrix scale {full_matrix/1e6:.0f} MB) — remat regressed")
+    gs = compiled(q, k, v)
+    for g in gs:
+        assert np.isfinite(np.asarray(g)).all()
