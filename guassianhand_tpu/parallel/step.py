@@ -49,6 +49,9 @@ def make_sharded_fit_step(model_apply: Callable, optimizer,
     """model_apply(params, batch) -> out dict (same contract as train.fit)."""
 
     def loss_fn(params, batch):
+        if cfg.freeze_base_gradients:
+            from guassianhand_tpu.train.fit import stop_frozen
+            params = stop_frozen(params)
         # trace-time context: lets RendererConfig.sharded_exchange models
         # route their render through the explicit all_to_all exchange
         with use_exchange_mesh(mesh if mesh.shape["model"] > 1 else None):

@@ -40,6 +40,11 @@ class FitConfig:
     # Trainer(accumulate_grad_batches=...) equivalent (infer_one_shot.py:636):
     # average grads over this many micro-batches before each optimizer update.
     accumulate_grad_batches: int = 1
+    # stop_gradient the frozen base before the forward (the reference's
+    # requires_grad=False semantics, infer_one_shot.py:340-343) so XLA drops
+    # the frozen weight-gradient matmuls from the backward entirely instead
+    # of computing-then-zeroing them. Updates are bit-identical either way.
+    freeze_base_gradients: bool = True
 
 
 def lr_schedule(cfg: FitConfig) -> optax.Schedule:
@@ -56,6 +61,25 @@ def trainable_mask(params) -> Any:
         return any(k in names for k in TRAINABLE_KEYS)
 
     return jax.tree_util.tree_map_with_path(mask_fn, params)
+
+
+def stop_frozen(params) -> Any:
+    """stop_gradient on every frozen-base leaf — the jit counterpart of the
+    reference's ``requires_grad=False`` (infer_one_shot.py:340-343), which
+    SKIPS those weight-gradient computations rather than zeroing them after
+    the fact. Activation gradients still flow through the frozen modules to
+    the per-identity leaves; XLA dead-code-eliminates only the dW matmuls
+    and the Adam branches that optax.set_to_zero already made no-ops.
+    Forward values are identical (stop_gradient is the identity)."""
+
+    def fn(path, leaf):
+        names = "/".join(str(getattr(p, "key", getattr(p, "name", p)))
+                         for p in path)
+        if any(k in names for k in TRAINABLE_KEYS):
+            return leaf
+        return jax.lax.stop_gradient(leaf)
+
+    return jax.tree_util.tree_map_with_path(fn, params)
 
 
 def make_optimizer(params, cfg: FitConfig) -> optax.GradientTransformation:
@@ -90,6 +114,8 @@ def make_fit_step(model_apply: Callable, vgg_loss_fn: Optional[Callable],
     """
 
     def loss_fn(params, batch):
+        if cfg.freeze_base_gradients:
+            params = stop_frozen(params)
         out = model_apply(params, batch)
         pred_rgb = out["comp_rgb"][:, 0]
         pred_mask = out["comp_mask"][:, 0]

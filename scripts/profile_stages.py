@@ -191,12 +191,19 @@ def model_profile():
         p2, s2, loss, err = step_fn(p, s, b)
         return (p2, s2), loss
 
+    def feat_grad(p, b):
+        return jax.grad(
+            lambda pp: jnp.sum(model.apply(pp, b, method="features")
+                               ["hidden"] ** 2))(p)
+
     jfeat = jax.jit(enc_prefix)
     jfwd = jax.jit(fwd_full)
+    jfgrad = jax.jit(feat_grad)
     t_feat = timed("features fwd (enc+tf+attn)",
                    lambda b: jfeat(params, b), varied)
     t_fwd = timed("model fwd (.. + render)", lambda b: jfwd(params, b),
                   varied)
+    t_fgrad = timed("features fwd+bwd", lambda b: jfgrad(params, b), varied)
 
     # fit step: donated params/opt_state thread through the loop
     pack = (jax.tree.map(jnp.copy, params), jax.tree.map(jnp.copy, opt_state))
@@ -209,9 +216,24 @@ def model_profile():
     t_step = (time.perf_counter() - t0) / len(varied) * 1e3
     print(f"[t] {'full fit step':28s} {t_step:7.2f} ms", flush=True)
 
+    # compiled-cost MFU estimate for the feature pipeline (flops from XLA's
+    # own cost model; v5e bf16-class peak for default-precision matmuls)
+    try:
+        ca = jfeat.lower(params, varied[0]).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = ca.get("flops", 0.0)
+        print(f"[t] features fwd: {flops/1e9:.1f} GFLOP -> "
+              f"{flops / (t_feat * 1e-3) / 1e12:.2f} TFLOP/s achieved",
+              flush=True)
+    except Exception as e:
+        print(f"[t] cost_analysis unavailable: {e!r}", flush=True)
+
     print("[t] ---- deltas ----", flush=True)
     print(f"[t] renderer+rasterizer fwd  {t_fwd - t_feat:7.2f} ms", flush=True)
-    print(f"[t] backward + optimizer     {t_step - t_fwd:7.2f} ms", flush=True)
+    print(f"[t] features bwd tail        {t_fgrad - t_feat:7.2f} ms",
+          flush=True)
+    print(f"[t] render+loss bwd + opt    {t_step - t_fwd - (t_fgrad - t_feat):7.2f} ms",
+          flush=True)
     print(f"[t] model steps/s: {1e3 / t_step:.2f}", flush=True)
 
 

@@ -236,3 +236,33 @@ def test_one_shot_model_backbone_scan(scene):
     assert "blocks" in params["params"]["backbone"]
     out = model.apply(params, batch, HW, HW)
     assert np.isfinite(np.asarray(out["comp_rgb"])).all()
+
+
+def test_freeze_base_gradients_equivalence(setup):
+    """stop_gradient on the frozen base (FitConfig.freeze_base_gradients,
+    the reference's requires_grad=False semantics) must produce bit-identical
+    losses and per-identity updates to the compute-then-zero path — it only
+    lets XLA drop the frozen dW matmuls."""
+    model, params, batch = setup
+
+    def model_apply(p, b):
+        return model.apply(p, b, HW, HW)
+
+    outs = {}
+    for freeze in (True, False):
+        cfg = FitConfig(lr=0.003, weights=LossWeights(vgg=0.0),
+                        freeze_base_gradients=freeze)
+        optimizer = make_optimizer(params, cfg)
+        p = jax.tree.map(jnp.copy, params)
+        s = optimizer.init(p)
+        step = make_fit_step(model_apply, None, optimizer, cfg)
+        for _ in range(2):
+            p, s, loss, _ = step(p, s, batch)
+        outs[freeze] = (float(loss), p)
+
+    assert outs[True][0] == outs[False][0]
+    for name in ("color_b", "color_w", "opacity_b", "map_bias",
+                 "identity_code_one_shot"):
+        np.testing.assert_array_equal(
+            np.asarray(outs[True][1]["params"][name]),
+            np.asarray(outs[False][1]["params"][name]), err_msg=name)
