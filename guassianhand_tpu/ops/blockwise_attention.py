@@ -13,21 +13,76 @@ sequence-parallel sharding composes with (SURVEY.md §5.7).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 
 NEG_INF = -1e30
 
+# GH_FLASH_ATTN=1 routes through jax's Pallas TPU flash-attention kernel
+# (VMEM-resident probabilities) instead of the XLA scan path. Built because
+# the scan path materializes its (h, q_chunk, k_chunk) block temporaries in
+# HBM (features fwd measured at 4.5 TFLOP/s — bandwidth-bound), but MEASURED
+# SLOWER on v5e at the interaction workload (N=15404, h=4, d=32): 95.2 ms
+# fwd+bwd vs the scan path's 30.9 ms. Two structural reasons: head_dim=32
+# fills only a quarter of the 128-lane MXU/VPU width inside the kernel, and
+# its backward runs separate dq and dkv kernel passes (two extra attention
+# recomputes) where the scan path's remat backward shares one. Kept
+# env-gated OFF for future hardware / head shapes; parity-tested in
+# tests/test_attention.py.
+_FLASH_MODE = os.environ.get("GH_FLASH_ATTN", "0")
 
-@functools.partial(jax.jit, static_argnames=("q_chunk", "k_chunk"))
+
+def _use_flash() -> bool:
+    return _FLASH_MODE == "1"
+
+
+def _flash_attention_masked(q, k, v, mask, scale):
+    """Pallas TPU flash attention with the same contract as the scan path:
+    masked-out positions neither attend nor are attended (their output rows
+    are zeroed by the caller's final mask-blend). Masking via segment ids:
+    live points form segment 1; masked points and padding form segment 0,
+    so live<->masked scores are excluded in-kernel. Segment-0 rows attend
+    among themselves (finite garbage) and are discarded by the blend."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds, flash_attention)
+
+    n, h, d = q.shape
+    pad = (-n) % 512  # block-size granularity of the kernel
+    np_ = n + pad
+
+    def prep(x):
+        x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
+        return x.transpose(1, 0, 2)[None]  # (1, h, np, d)
+
+    seg = jnp.pad(mask.astype(jnp.int32), (0, pad))[None]  # (1, np)
+    out = flash_attention(
+        prep(q), prep(k), prep(v),
+        segment_ids=SegmentIds(q=seg, kv=seg), causal=False,
+        sm_scale=float(scale))
+    return out[0].transpose(1, 0, 2)[:n]  # (n, h, d)
+
+
+@functools.partial(jax.jit, static_argnames=("q_chunk", "k_chunk", "flash"))
 def blockwise_attention(q, k, v, mask=None, q_chunk: int = 2048,
-                        k_chunk: int = 2048):
+                        k_chunk: int = 2048, flash=None):
     """q, k, v: (N, H, D); mask: optional (N,) bool — masked-out positions
     neither attend nor are attended to (their output rows are zeros; callers
-    blend with the residual). Returns (N, H, D)."""
+    blend with the residual). Returns (N, H, D).
+
+    ``flash``: True/False forces the Pallas kernel / XLA scan path; None
+    (default) follows $GH_FLASH_ATTN, else uses the kernel on TPU backends.
+    """
     n, h, d = q.shape
     scale = 1.0 / jnp.sqrt(jnp.asarray(d, q.dtype))
+
+    if _use_flash() if flash is None else flash:
+        m = mask if mask is not None else jnp.ones((n,), bool)
+        out = _flash_attention_masked(q, k, v, m, 1.0 / float(d) ** 0.5)
+        if mask is not None:
+            out = out * mask[:, None, None].astype(out.dtype)
+        return out
 
     pad_q = (-n) % q_chunk
     pad_k = (-n) % k_chunk

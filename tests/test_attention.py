@@ -110,3 +110,40 @@ def test_blockwise_attention_grad_memory_is_sublinear():
     gs = compiled(q, k, v)
     for g in gs:
         assert np.isfinite(np.asarray(g)).all()
+
+
+def test_flash_attention_path_matches_scan():
+    """The Pallas TPU flash-attention path (flash=True; the bandwidth fix
+    for interaction-scale attention) must match the XLA scan path on
+    outputs AND gradients, including the mask contract (masked rows zero).
+    Runs the kernel in TPU-interpret mode on CPU."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, h, d = 512, 4, 32
+    rng = np.random.RandomState(1)
+    q = jnp.asarray(rng.normal(size=(n, h, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(n, h, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(n, h, d)), jnp.float32)
+    mask = jnp.asarray(rng.uniform(size=(n,)) > 0.4)
+    tgt = jnp.asarray(rng.normal(size=(n, h, d)), jnp.float32)
+
+    def loss(q, k, v, flash):
+        o = blockwise_attention(q, k, v, mask, q_chunk=256, k_chunk=256,
+                                flash=flash)
+        return jnp.abs(o - tgt).mean(), o
+
+    (l0, o0), g0 = jax.value_and_grad(
+        lambda *a: loss(*a, False), argnums=(0, 1, 2), has_aux=True)(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        (l1, o1), g1 = jax.value_and_grad(
+            lambda *a: loss(*a, True), argnums=(0, 1, 2), has_aux=True)(
+                q, k, v)
+
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o0), atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(o1)[~np.asarray(mask)], 0.0)
+    for name, a, b in zip("qkv", g1, g0):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(b).max() + 1e-12
+        np.testing.assert_allclose(a, b, atol=1e-4 * scale,
+                                   err_msg=f"flash grad {name}")
