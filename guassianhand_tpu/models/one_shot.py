@@ -68,6 +68,9 @@ class OneShotConfig:
     interaction_k: int = 100
     interaction_threshold: int = 10
     attn_dropout: float = 0.1        # self_attn.py:52-56 (train-mode only)
+    interaction_cap: Optional[int] = None  # static attention budget over
+    # the interacting set (SelfAttn.cap): O(cap^2) instead of O(N^2),
+    # exact while the interacting count fits; overflow sown
     attn_dense: bool = False         # small-N dense attention with TRUE
     # attention-probability dropout (self_attn.py:70-71) — exact reference
     # training semantics; blockwise path uses output dropout instead
@@ -111,7 +114,8 @@ class OneShotAvatarModel(nn.Module):
         self.additional_features_fc = AdditionalFeaturesFC(
             out_dim=c.additional_feature_dim)
         self.self_attn_layer = SelfAttn(dropout=c.attn_dropout,
-                                        dense=c.attn_dense)
+                                        dense=c.attn_dense,
+                                        cap=c.interaction_cap)
         self.identity_code_infer = IdentityCodeInfer(
             code_dim=c.identity_channels, n_token=c.identity_infer_tokens)
         self.renderer = GSRenderer(cfg=c.renderer)

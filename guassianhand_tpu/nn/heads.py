@@ -157,12 +157,23 @@ class SelfAttn(nn.Module):
     attention-probability dropout after the softmax (self_attn.py:70-71
     dropout1) — the reference's exact training semantics. O(N^2) memory, so
     it is the small-N fallback; eval-mode outputs equal the blockwise path.
+
+    ``cap``: static interaction budget (same philosophy as the rasterizer's
+    pair budgets). The reference attends over the dynamically-sized
+    interacting subset, so its attention cost scales with how much the
+    hands actually touch; with static shapes ours is O(N^2) regardless. A
+    cap gathers the first ``cap`` interacting points (original order),
+    attends within that subset only — O(cap^2) — and scatters back; rows
+    beyond the budget are treated as non-interacting (full pass-through)
+    and the dropped count is sown as ``diagnostics/interaction_overflow``.
+    EXACT whenever the interacting count fits the budget. None = off.
     """
 
     n_heads: int = 4
     chunk_size: int = 2048
     dropout: float = 0.1   # self_attn.py:52-56, active during fitting
     dense: bool = False    # materialized attention + prob dropout
+    cap: Optional[int] = None  # static interaction budget (None = full N)
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True):
@@ -187,6 +198,26 @@ class SelfAttn(nn.Module):
                 att = nn.Dropout(self.dropout)(att,
                                                deterministic=deterministic)
             o = jnp.einsum("bhqk,bkhd->bqhd", att, v)
+        elif self.cap is not None and mask is not None and self.cap < n:
+            c = max(128, self.cap)
+            # interacting rows first, original order preserved (stable)
+            order = jnp.argsort(~mm, axis=1, stable=True).astype(jnp.int32)
+            idx = order[:, :c]
+            bi = jnp.arange(b)[:, None]
+            qs, ks, vs = q[bi, idx], k[bi, idx], v[bi, idx]
+            ms = jnp.take_along_axis(mm, idx, axis=1)
+            chunk = min(self.chunk_size, max(128, c))
+            os_ = jax.vmap(
+                lambda qq, kk, vv, m: blockwise_attention(
+                    qq, kk, vv, m, q_chunk=chunk, k_chunk=chunk)
+            )(qs, ks, vs, ms)
+            o = jnp.zeros((b, n, self.n_heads, d), os_.dtype
+                          ).at[bi, idx].set(os_)
+            # rows past the budget fall back to non-interacting pass-through
+            kept = jnp.zeros((b, n), bool).at[bi, idx].set(ms)
+            self.sow("diagnostics", "interaction_overflow",
+                     jnp.sum(mm) - jnp.sum(kept))
+            mask = kept
         else:
             chunk = min(self.chunk_size, max(128, n))
             o = jax.vmap(

@@ -147,3 +147,45 @@ def test_flash_attention_path_matches_scan():
         scale = np.abs(b).max() + 1e-12
         np.testing.assert_allclose(a, b, atol=1e-4 * scale,
                                    err_msg=f"flash grad {name}")
+
+
+def test_self_attn_interaction_cap():
+    """SelfAttn(cap=C): exact when the interacting count fits the budget;
+    over budget, the first C interacting rows (original order) attend among
+    themselves, later ones pass through unchanged, and the dropped count is
+    sown as diagnostics/interaction_overflow."""
+    import jax
+    from guassianhand_tpu.nn.heads import SelfAttn
+
+    rng = np.random.RandomState(3)
+    b, n, f = 2, 512, 32
+    x = jnp.asarray(rng.normal(size=(b, n, f)), jnp.float32)
+    mask = np.zeros((b, n), bool)
+    mask[0, :100] = True            # 100 interacting, fits cap=128
+    mask[1, ::2] = True             # 256 interacting, exceeds cap=128
+    mask = jnp.asarray(mask)
+
+    base = SelfAttn(n_heads=4, dropout=0.0)
+    capped = SelfAttn(n_heads=4, dropout=0.0, cap=128)
+    params = base.init(jax.random.PRNGKey(0), x, mask)
+
+    ref = base.apply(params, x, mask)
+    out, aux = capped.apply(params, x, mask, mutable=["diagnostics"])
+    out, ref = np.asarray(out), np.asarray(ref)
+
+    # sample 0 fits the budget -> exact
+    np.testing.assert_allclose(out[0], ref[0], atol=2e-5, rtol=1e-4)
+    # sample 1: the first 128 interacting rows are the even indices < 256;
+    # they attended among themselves only. Rows past the budget (even
+    # indices >= 256) pass through unchanged.
+    kept_rows = np.arange(0, 256, 2)
+    dropped_rows = np.arange(256, n, 2)
+    np.testing.assert_array_equal(out[1][dropped_rows],
+                                  np.asarray(x)[1][dropped_rows])
+    # kept rows must equal a reference computed over the kept subset only
+    m2 = np.zeros((1, n), bool); m2[0, kept_rows] = True
+    ref2 = np.asarray(base.apply(params, x[1:2], jnp.asarray(m2)))
+    np.testing.assert_allclose(out[1][kept_rows], ref2[0][kept_rows],
+                               atol=2e-5, rtol=1e-4)
+    ov = np.asarray(jax.tree_util.tree_leaves(aux["diagnostics"])[0])
+    assert int(ov.sum()) == 256 - 128
