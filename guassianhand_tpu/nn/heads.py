@@ -170,7 +170,10 @@ class SelfAttn(nn.Module):
     """
 
     n_heads: int = 4
-    chunk_size: int = 2048
+    chunk_size: int = 1024  # chunk sweep on v5e at N=15404 (fwd+bwd ms):
+    # 512 -> 16.1, 1024 -> 15.0, 2048 -> 30.7, 4096 -> 66.0. The (h, qc, kc)
+    # block temporaries are HBM-materialized by XLA; past ~1k^2 they spill
+    # out of any cache locality and the scan goes bandwidth-bound.
     dropout: float = 0.1   # self_attn.py:52-56, active during fitting
     dense: bool = False    # materialized attention + prob dropout
     cap: Optional[int] = None  # static interaction budget (None = full N)

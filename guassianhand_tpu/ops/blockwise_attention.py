@@ -65,8 +65,8 @@ def _flash_attention_masked(q, k, v, mask, scale):
 
 
 @functools.partial(jax.jit, static_argnames=("q_chunk", "k_chunk", "flash"))
-def blockwise_attention(q, k, v, mask=None, q_chunk: int = 2048,
-                        k_chunk: int = 2048, flash=None):
+def blockwise_attention(q, k, v, mask=None, q_chunk: int = 1024,
+                        k_chunk: int = 1024, flash=None):
     """q, k, v: (N, H, D); mask: optional (N,) bool — masked-out positions
     neither attend nor are attended to (their output rows are zeros; callers
     blend with the residual). Returns (N, H, D).

@@ -5,6 +5,7 @@ Stage-decomposition via SEPARATE jits systematically overstates op costs
 pipeline end-to-end and reports deltas. Varied inputs are precomputed outside
 the timed loop (the axon relay caches identical execute requests).
 """
+import os
 import sys
 import time
 
@@ -147,7 +148,10 @@ def model_profile():
 
     hw = 256
     raster = RasterizeConfig(max_tiles_per_gaussian=8)
-    cfg = OneShotConfig(backbone_scan=True,
+    # GH_PROF_SCAN=0 unrolls the transformer stacks (same math; slower
+    # compile, lets XLA fuse across layer boundaries) for an A/B
+    scan = os.environ.get("GH_PROF_SCAN", "1") == "1"
+    cfg = OneShotConfig(backbone_scan=scan,
                         renderer=RendererConfig(raster=raster))
     scene = SyntheticHandScene.build(n_vertices=778, subdivide=2, height=hw,
                                      width=hw)
