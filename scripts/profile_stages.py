@@ -148,9 +148,11 @@ def model_profile():
 
     hw = 256
     raster = RasterizeConfig(max_tiles_per_gaussian=8)
-    # GH_PROF_SCAN=0 unrolls the transformer stacks (same math; slower
-    # compile, lets XLA fuse across layer boundaries) for an A/B
-    scan = os.environ.get("GH_PROF_SCAN", "1") == "1"
+    # GH_PROF_SCAN=1 runs the lax.scan transformer stacks (several-fold
+    # faster compile, same math — but the scan backward costs ~14 ms/step:
+    # carries re-materialize and cross-layer fusion is blocked). Default
+    # matches OneShotConfig.backbone_scan=False, the deploy configuration.
+    scan = os.environ.get("GH_PROF_SCAN", "0") == "1"
     cfg = OneShotConfig(backbone_scan=scan,
                         renderer=RendererConfig(raster=raster))
     scene = SyntheticHandScene.build(n_vertices=778, subdivide=2, height=hw,
