@@ -153,8 +153,14 @@ class GSRenderer(nn.Module):
             rgb = rgb * gain + bias - 1.0
 
         if color_b_map is not None:
-            cb = grid_sample_2d(color_b_map, uvn_sample)  # (M, 48)
-            cb = cb.reshape(-1, 16, 3)[:, 0, :]
+            # The map carries 48 channels for checkpoint layout parity, but
+            # only the first rgb triple is consumed — reshape(16,3)[:,0,:]
+            # in the reference (renderer_one_shot.py:330-334). Slice BEFORE
+            # sampling: identical values and gradients (the other 45
+            # channels' taps had zero cotangents anyway), but the bilinear
+            # gather and, critically, its backward scatter-add into the
+            # (48, 1024, 2048) map gradient shrink 16x.
+            cb = grid_sample_2d(color_b_map[:3], uvn_sample)  # (M, 3)
             if edit.edit_left_only:
                 # zero residuals on the right hand's half of the map
                 cb = cb * (~right)[:, None].astype(cb.dtype)

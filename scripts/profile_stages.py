@@ -161,7 +161,10 @@ def model_profile():
           f"n_points={scene.n_points}", flush=True)
     batch = synthetic_batch(scene, seed=0, raster=raster)
     model = OneShotAvatarModel(cfg=cfg)
-    params = model.init(jax.random.PRNGKey(0), batch, hw, hw)
+    # jit the init: eager-mode init materializes every intermediate of the
+    # full forward at once (no liveness analysis) and can OOM the chip
+    params = jax.jit(model.init, static_argnums=(2, 3))(
+        jax.random.PRNGKey(0), batch, hw, hw)
 
     fit_cfg = FitConfig(weights=LossWeights(vgg=0.0))
     optimizer = make_optimizer(params, fit_cfg)
@@ -188,6 +191,18 @@ def model_profile():
         # (stop before the renderer/rasterizer)
         return model.apply(p, b, method="features")["hidden"]
 
+    def gauss_prefix(p, b):
+        # features + Gaussian build (GSLayer heads, validity/densify,
+        # appearance) — everything except projection/binning/composite
+        def m_gauss(m, bb):
+            feats = m.features(bb)
+            qp = bb.get("points_tar", bb["points"])
+            gs, uv2 = m.renderer.build_gaussians(
+                feats["hidden"][0], qp[0], bb["vert_uv"][0])
+            return gs.xyz, gs.opacity, gs.shs
+
+        return model.apply(p, b, method=m_gauss)
+
     def fwd_full(p, b):
         out = model.apply(p, b, hw, hw)
         return out["comp_rgb"], out["comp_mask"]
@@ -203,10 +218,13 @@ def model_profile():
                                ["hidden"] ** 2))(p)
 
     jfeat = jax.jit(enc_prefix)
+    jgauss = jax.jit(gauss_prefix)
     jfwd = jax.jit(fwd_full)
     jfgrad = jax.jit(feat_grad)
     t_feat = timed("features fwd (enc+tf+attn)",
                    lambda b: jfeat(params, b), varied)
+    t_gauss = timed("features + gaussian build",
+                    lambda b: jgauss(params, b), varied)
     t_fwd = timed("model fwd (.. + render)", lambda b: jfwd(params, b),
                   varied)
     t_fgrad = timed("features fwd+bwd", lambda b: jfgrad(params, b), varied)
@@ -235,6 +253,10 @@ def model_profile():
         print(f"[t] cost_analysis unavailable: {e!r}", flush=True)
 
     print("[t] ---- deltas ----", flush=True)
+    print(f"[t] gaussian build fwd       {t_gauss - t_feat:7.2f} ms",
+          flush=True)
+    print(f"[t] project+bin+composite    {t_fwd - t_gauss:7.2f} ms",
+          flush=True)
     print(f"[t] renderer+rasterizer fwd  {t_fwd - t_feat:7.2f} ms", flush=True)
     print(f"[t] features bwd tail        {t_fgrad - t_feat:7.2f} ms",
           flush=True)
