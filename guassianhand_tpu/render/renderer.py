@@ -190,7 +190,9 @@ class GSRenderer(nn.Module):
                 gs, w2cs, Ks, height=height, width=width,
                 background=background, sh_degree=self.cfg.sh_degree,
                 use_rgb=self.cfg.use_rgb, config=self.cfg.raster)
-            return {"comp_rgb": out["comp_rgb"], "comp_mask": out["comp_mask"]}
+            return {"comp_rgb": out["comp_rgb"],
+                    "comp_mask": out["comp_mask"],
+                    "overflow": out["overflow"]}
 
         def one_view(w2c, K):
             cam = Camera.from_w2c(w2c, K, height, width)
@@ -198,10 +200,11 @@ class GSRenderer(nn.Module):
                             background=background,
                             sh_degree=self.cfg.sh_degree,
                             use_rgb=self.cfg.use_rgb, config=self.cfg.raster)
-            return out["comp_rgb"], out["comp_mask"]
+            return out["comp_rgb"], out["comp_mask"], out["overflow"]
 
-        rgb, mask = jax.vmap(one_view)(w2cs, Ks)
-        return {"comp_rgb": rgb, "comp_mask": mask}
+        rgb, mask, ov = jax.vmap(one_view)(w2cs, Ks)
+        return {"comp_rgb": rgb, "comp_mask": mask,
+                "overflow": jnp.sum(ov)}
 
     def __call__(self, features, points, vert_uv, w2cs, Ks, *, height, width,
                  background=None, color_w=None, xyz_b=None, color_b_map=None,

@@ -127,6 +127,12 @@ def make_fit_step(model_apply: Callable, vgg_loss_fn: Optional[Callable],
             {"color_b": flat["color_b"], "opacity_b": flat["opacity_b"],
              "map_bias": flat["map_bias"]}, cfg.weights)
         err["reg"] = reg
+        if "overflow" in out:
+            # static-capacity honesty: pairs dropped by the binning budgets
+            # (must stay 0; a nonzero count means the caps are undersized
+            # for this scene — raise max_tiles_per_gaussian /
+            # pairs_per_gaussian instead of silently truncating)
+            err["overflow"] = jnp.sum(out["overflow"]).astype(jnp.float32)
         return total + reg, err
 
     # donate params/opt_state: they are consumed and returned updated each
