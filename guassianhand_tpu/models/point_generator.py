@@ -74,6 +74,11 @@ class ImageFeature(nn.Module):
         b, h, w, _ = rgb.shape
         n = tokens.shape[1]
         side = int(n ** 0.5)
+        if side * side != n:
+            # DINOv2 tokenizers prepend a CLS token; the reference drops it
+            # before the spatial reshape (image_feature.py: feature[:, 1:]).
+            tokens = tokens[:, 1:]
+            side = int(tokens.shape[1] ** 0.5)
         tok = tokens[:, : side * side].reshape(b, side, side, -1)
         tok = jax.image.resize(tok, (b, h, w, tok.shape[-1]), "bilinear")
         dist = mask_distance_channel(mask)  # (B, H, W)

@@ -54,12 +54,22 @@ def make_mesh(n_data: Optional[int] = None, n_model: Optional[int] = None,
 # The renderer lives deep inside the flax model and cannot take a Mesh
 # argument through the batch; the sharded fit step publishes its mesh here
 # (trace-time context, captured into the jitted computation) and the
-# renderer opts in via RendererConfig.sharded_exchange.
-_EXCHANGE_MESH: list = [None]
+# renderer opts in via RendererConfig.sharded_exchange. The stack is
+# thread-local: a retrace from another thread must not observe (or mutate)
+# this thread's exchange context.
+import threading
+
+_EXCHANGE_TLS = threading.local()
+
+
+def _stack() -> list:
+    if not hasattr(_EXCHANGE_TLS, "stack"):
+        _EXCHANGE_TLS.stack = [None]
+    return _EXCHANGE_TLS.stack
 
 
 def exchange_mesh() -> Optional[Mesh]:
-    return _EXCHANGE_MESH[-1]
+    return _stack()[-1]
 
 
 class use_exchange_mesh:
@@ -67,11 +77,11 @@ class use_exchange_mesh:
         self.mesh = mesh
 
     def __enter__(self):
-        _EXCHANGE_MESH.append(self.mesh)
+        _stack().append(self.mesh)
         return self.mesh
 
     def __exit__(self, *exc):
-        _EXCHANGE_MESH.pop()
+        _stack().pop()
         return False
 
 

@@ -89,3 +89,84 @@ def test_render_360_cli_smoke(tmp_path):
     assert rc == 0
     assert os.path.exists(tmp_path / "video" / "0000.png")
     assert os.path.exists(tmp_path / "video" / "turntable.gif")
+
+
+def test_port_and_eval_dry_run_reports_missing(tmp_path, capsys):
+    """The one-command runbook's --dry_run validator (VERDICT r3 item 8):
+    with no artifacts on disk it must print the full checklist and exit 2,
+    naming the expected path of each missing required artifact
+    (infer_one_shot.py:337 ckpt, dataset_one_shot.py:435-481 layout)."""
+    from guassianhand_tpu.cli import port_and_eval
+
+    rc = port_and_eval.main(
+        ["--torch_ckpt", str(tmp_path / "pretrain_model.ckpt"),
+         "--data_root", str(tmp_path / "processed"),
+         "--annot_path", str(tmp_path / "annotations"),
+         "--mano", str(tmp_path / "mano"), "--dry_run"])
+    assert rc == 2
+    out = capsys.readouterr().out
+    assert "pretrain_model.ckpt" in out
+    assert "MISS" in out
+    assert "index_identity_test_i_one_shot" in out
+    assert "Cannot run" in out
+
+
+def test_port_and_eval_dry_run_ready(tmp_path, capsys):
+    """With a complete (synthetic) artifact tree the dry run must exercise
+    the real checkpoint key-mapping and the frame deep-check and exit 0 —
+    this is the CI guard that keeps the real-artifact runbook from rotting
+    while weights/data stay unavailable (VERDICT r3 item 8)."""
+    import pickle
+
+    import PIL.Image
+    import torch
+    from test_interhand import _write_fake_mano
+
+    from guassianhand_tpu.cli import port_and_eval
+    from guassianhand_tpu.mano.model import synthetic_mano_model
+
+    # torch checkpoint whose keys run through the real converter mapping
+    ckpt = tmp_path / "pretrain_model.ckpt"
+    sd = {"model.camera_embedder.layers.0.weight": torch.zeros(32, 25),
+          "model.camera_embedder.layers.0.bias": torch.zeros(32)}
+    torch.save({"state_dict": sd}, ckpt)
+
+    # annotations
+    ann = tmp_path / "annotations" / "test"
+    ann.mkdir(parents=True)
+    for stem in ("InterHand2.6M_test_joint_3d.json",
+                 "InterHand2.6M_test_MANO_NeuralAnnot.json"):
+        (ann / stem).write_text("{}")
+
+    # processed layout + index records the deep-check follows
+    proc = tmp_path / "processed" / "test"
+    idx = proc / "index_identity_test_i_one_shot"
+    idx.mkdir(parents=True)
+    rec = {"capture": 0, "cam": 7, "frame": 123}
+    for name in ("2.pkl", "10.pkl"):
+        with open(idx / name, "wb") as f:
+            pickle.dump(rec, f)
+    (proc / "annotation" / "capture0" / "cam7").mkdir(parents=True)
+    with open(proc / "annotation" / "capture0" / "cam7" / "frame123.pkl",
+              "wb") as f:
+        pickle.dump({"camera": {}}, f)
+    (proc / "image" / "capture0" / "cam7").mkdir(parents=True)
+    PIL.Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(
+        proc / "image" / "capture0" / "cam7" / "frame123.jpg")
+    (proc / "mask").mkdir()
+
+    # MANO assets
+    mano = tmp_path / "mano"
+    mano.mkdir()
+    _write_fake_mano(mano / "MANO_RIGHT.pkl", synthetic_mano_model(64, 0))
+    _write_fake_mano(mano / "MANO_LEFT.pkl", synthetic_mano_model(64, 1))
+
+    rc = port_and_eval.main(
+        ["--torch_ckpt", str(ckpt),
+         "--data_root", str(tmp_path / "processed"),
+         "--annot_path", str(tmp_path / "annotations"),
+         "--mano", str(mano), "--dry_run"])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "ready to execute" in out
+    assert "source keys" in out  # the key-mapping proof actually ran

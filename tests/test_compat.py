@@ -264,8 +264,10 @@ def test_image_feature_distance_transform_matches_cv2():
         jnp.asarray(mask.astype(np.float32))[None])
     assert feat.shape == (1, h, w, 773)
 
+    # the reference drops the leading CLS token (image_feature.py:
+    # feature[:, 1:]) before the spatial reshape
     tok_t = torch.from_numpy(
-        tokens[:, : side * side].reshape(1, side, side, c_tok)
+        tokens[:, 1 : 1 + side * side].reshape(1, side, side, c_tok)
     ).permute(0, 3, 1, 2)
     tok_up = F.interpolate(tok_t, size=(h, w), mode="bilinear",
                            align_corners=False)
