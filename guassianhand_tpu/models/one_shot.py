@@ -74,7 +74,20 @@ class OneShotConfig:
     attn_dense: bool = False         # small-N dense attention with TRUE
     # attention-probability dropout (self_attn.py:70-71) — exact reference
     # training semantics; blockwise path uses output dropout instead
+    attn_chunk: int = 1024           # blockwise-attention chunk (SelfAttn
+    # sweep in nn/heads.py; bf16 halves the HBM block temporaries, so the
+    # optimum may shift — re-sweepable per deployment without code edits)
     identity_infer_tokens: int = 256  # IdentityCodeInfer token count
+    compute_dtype: Optional[str] = None  # "bfloat16" runs the FROZEN feature
+    # pipeline's matmuls (embedders, pointnets, upsampler, both Transformer1D
+    # backbones, additional-features FC, interaction attention) in bf16 on
+    # the MXU — params stay fp32 (ports/checkpoints unchanged), norm
+    # statistics and every softmax stay fp32, and the per-identity
+    # learnables, losses and the rasterizer stay fp32 end to end. The
+    # reference runs torch fp32 (its hot loop: tgs/models/transformers.py:
+    # 673-908); this is the TPU-first redesign of that loop: v5e bf16 MXU
+    # peak is ~6x the fp32-exact path. Quality-gated in
+    # tests/test_bf16.py + the 50-step PSNR A/B recorded in ROADMAP.md.
     backbone_scan: bool = False       # lax.scan over transformer blocks:
     # identical math, several-fold faster XLA compile of the full model
     # (params under backbone/blocks, stacked; see
@@ -87,16 +100,19 @@ class OneShotAvatarModel(nn.Module):
 
     def setup(self):
         c = self.cfg
+        dt = jnp.dtype(c.compute_dtype) if c.compute_dtype else None
         self.camera_embedder = MLP(dim_out=c.camera_embed_dim,
                                    n_neurons=c.camera_embed_dim,
-                                   n_hidden_layers=1, activation="silu")
+                                   n_hidden_layers=1, activation="silu",
+                                   dtype=dt)
         self.pose_embedder = MLP(dim_out=c.pose_embed_dim,
                                  n_neurons=c.pose_embed_dim,
-                                 n_hidden_layers=1, activation="silu")
+                                 n_hidden_layers=1, activation="silu",
+                                 dtype=dt)
         self.point_encoder_texture = LocalPoolPointnet(
-            c_dim=c.token_channels, plane_size=c.plane_size)
+            c_dim=c.token_channels, plane_size=c.plane_size, dtype=dt)
         self.point_encoder_shade = LocalPoolPointnet(
-            c_dim=c.token_channels, plane_size=c.plane_size)
+            c_dim=c.token_channels, plane_size=c.plane_size, dtype=dt)
         self.tokenizer_texture = TriplaneLearnablePositionalEmbedding(
             plane_size=c.plane_size, num_channels=c.token_channels,
             n_plane=c.n_plane)
@@ -105,17 +121,18 @@ class OneShotAvatarModel(nn.Module):
             n_plane=c.n_plane)
         self.backbone = Transformer1D(
             num_layers=c.backbone_layers, heads=c.backbone_heads,
-            head_dim=c.backbone_head_dim, scan=c.backbone_scan)
+            head_dim=c.backbone_head_dim, scan=c.backbone_scan, dtype=dt)
         self.backbone_shade = Transformer1D(
             num_layers=c.backbone_layers, heads=c.backbone_heads,
-            head_dim=c.backbone_head_dim, scan=c.backbone_scan)
+            head_dim=c.backbone_head_dim, scan=c.backbone_scan, dtype=dt)
         self.post_processor_texture = TriplaneUpsampler(
-            out_channels=c.scene_code_channels)
+            out_channels=c.scene_code_channels, dtype=dt)
         self.additional_features_fc = AdditionalFeaturesFC(
-            out_dim=c.additional_feature_dim)
+            out_dim=c.additional_feature_dim, dtype=dt)
         self.self_attn_layer = SelfAttn(dropout=c.attn_dropout,
                                         dense=c.attn_dense,
-                                        cap=c.interaction_cap)
+                                        cap=c.interaction_cap,
+                                        chunk_size=c.attn_chunk, dtype=dt)
         self.identity_code_infer = IdentityCodeInfer(
             code_dim=c.identity_channels, n_token=c.identity_infer_tokens)
         self.renderer = GSRenderer(cfg=c.renderer)
@@ -230,11 +247,18 @@ class OneShotAvatarModel(nn.Module):
         hidden_tex = grid_sample_batched(codes, uv_n)     # (B, N, 80)
         hidden = jnp.concatenate([hidden_tex, additional], axis=-1)  # (B,N,131)
 
-        hidden = self.self_attn_layer(hidden, mask=batch["inter_mask"],
-                                      deterministic=not train)
+        hidden, inter_overflow = self.self_attn_layer(
+            hidden, mask=batch["inter_mask"], deterministic=not train,
+            return_overflow=True)
+        # everything downstream (GSLayer heads, appearance residuals, the
+        # rasterizer) is fp32 regardless of compute_dtype
+        hidden = hidden.astype(jnp.float32)
         return {"hidden": hidden, "codes": codes, "additional": additional,
                 "camera_feats": camera_feats, "pose_feats": pose_feats,
-                "id_vert": id_vert, "uv_n": uv_n, "points": points}
+                "id_vert": id_vert, "uv_n": uv_n, "points": points,
+                # rows dropped by interaction_cap (must stay 0 — the cap is
+                # exact only while the interacting count fits the budget)
+                "interaction_overflow": inter_overflow}
 
     def __call__(self, batch: Dict[str, Any], height: int, width: int,
                  edit: EditConfig = EditConfig(),
@@ -273,7 +297,18 @@ class OneShotAvatarModel(nn.Module):
         if self.cfg.renderer.sharded_exchange:
             from guassianhand_tpu.parallel.mesh import exchange_mesh
             xmesh = exchange_mesh()
-            if xmesh is not None:
+            if xmesh is None:
+                # sharded_exchange was requested but no mesh is published in
+                # this thread (use_exchange_mesh not active around the
+                # trace): fall through to the vmapped single-chip path, but
+                # LOUDLY — a silent degraded retrace was ADVICE r3 item 3.
+                import warnings
+                warnings.warn(
+                    "RendererConfig.sharded_exchange=True but no exchange "
+                    "mesh is active at trace time (use_exchange_mesh); "
+                    "compiling the UNSHARDED render path.", RuntimeWarning,
+                    stacklevel=2)
+            else:
                 # Explicit Gaussian->tile all_to_all path (SURVEY §7.3):
                 # per-sample Gaussian build stays a vmap (local math); the
                 # batched views render through ONE shard_map exchange.
@@ -297,7 +332,9 @@ class OneShotAvatarModel(nn.Module):
                     config=self.cfg.renderer.raster)
                 return {"comp_rgb": rout["comp_rgb"],
                         "comp_mask": rout["comp_mask"], "3dgs": gs_b,
-                        "overflow": rout["overflow"], "points": points}
+                        "overflow": rout["overflow"], "points": points,
+                        "interaction_overflow":
+                            feats["interaction_overflow"]}
 
         def render_one(feats, pts, vuv, w2cs, Ks, bg, txyz, tuv):
             return self.renderer(
@@ -310,4 +347,5 @@ class OneShotAvatarModel(nn.Module):
             hidden, query_points, uv, batch["w2c_render"], batch["K_render"],
             batch.get("background", jnp.zeros((b, 3))), *tris)
         out["points"] = points
+        out["interaction_overflow"] = feats["interaction_overflow"]
         return out

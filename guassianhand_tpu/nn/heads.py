@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -115,10 +115,11 @@ class VertPosRefinement(nn.Module):
 
 class AdditionalFeaturesFC(nn.Module):
     out_dim: int = 51
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
-        return MLPBlock(hid_dim=self.out_dim)(x)
+        return MLPBlock(hid_dim=self.out_dim, dtype=self.dtype)(x)
 
 
 class IdentityCodeInfer(nn.Module):
@@ -177,22 +178,31 @@ class SelfAttn(nn.Module):
     dropout: float = 0.1   # self_attn.py:52-56, active during fitting
     dense: bool = False    # materialized attention + prob dropout
     cap: Optional[int] = None  # static interaction budget (None = full N)
+    dtype: Optional[Any] = None  # compute dtype for the projections and the
+    # attention matmuls; softmax stats/probabilities stay fp32 either way
+    # (blockwise_attention carries, and an explicit upcast on the dense path)
 
     @nn.compact
-    def __call__(self, x, mask=None, deterministic: bool = True):
+    def __call__(self, x, mask=None, deterministic: bool = True,
+                 return_overflow: bool = False):
         from guassianhand_tpu.ops.blockwise_attention import blockwise_attention
 
         b, n, f = x.shape
         d = f // self.n_heads
         x_in = x
+        overflow = jnp.zeros((), jnp.float32)  # rows dropped by the cap
 
         h = nn.LayerNorm(epsilon=1e-6)(x)
-        q = nn.Dense(self.n_heads * d)(h).reshape(b, n, self.n_heads, d)
-        k = nn.Dense(self.n_heads * d)(h).reshape(b, n, self.n_heads, d)
-        v = nn.Dense(self.n_heads * d)(h).reshape(b, n, self.n_heads, d)
+        q = nn.Dense(self.n_heads * d, dtype=self.dtype)(h).reshape(
+            b, n, self.n_heads, d)
+        k = nn.Dense(self.n_heads * d, dtype=self.dtype)(h).reshape(
+            b, n, self.n_heads, d)
+        v = nn.Dense(self.n_heads * d, dtype=self.dtype)(h).reshape(
+            b, n, self.n_heads, d)
         mm = mask if mask is not None else jnp.ones((b, n), bool)
         if self.dense:
-            att = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
+            att = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                             preferred_element_type=jnp.float32) / jnp.sqrt(
                 jnp.float32(d))
             att = jnp.where(mm[:, None, None, :], att, -1e9)
             att = jax.nn.softmax(att, axis=-1)
@@ -218,8 +228,8 @@ class SelfAttn(nn.Module):
                           ).at[bi, idx].set(os_)
             # rows past the budget fall back to non-interacting pass-through
             kept = jnp.zeros((b, n), bool).at[bi, idx].set(ms)
-            self.sow("diagnostics", "interaction_overflow",
-                     jnp.sum(mm) - jnp.sum(kept))
+            overflow = (jnp.sum(mm) - jnp.sum(kept)).astype(jnp.float32)
+            self.sow("diagnostics", "interaction_overflow", overflow)
             mask = kept
         else:
             chunk = min(self.chunk_size, max(128, n))
@@ -227,17 +237,19 @@ class SelfAttn(nn.Module):
                 lambda qq, kk, vv, m: blockwise_attention(
                     qq, kk, vv, m, q_chunk=chunk, k_chunk=chunk)
             )(q, k, v, mm)
-        o = nn.Dense(f)(o.reshape(b, n, self.n_heads * d))
+        o = nn.Dense(f, dtype=self.dtype)(o.reshape(b, n, self.n_heads * d))
         if self.dropout > 0.0:
             # the reference's dropout2 on the attention output (in blockwise
             # mode the prob-dropout does not compose with the online
             # softmax; output dropout carries the regularization there)
             o = nn.Dropout(self.dropout)(o, deterministic=deterministic)
         x = x + o
-        x = MLPResBlock(hid_dim=f, dropout=self.dropout)(
+        x = MLPResBlock(hid_dim=f, dropout=self.dropout, dtype=self.dtype)(
             x, deterministic=deterministic)
         if mask is not None:
             # Non-interacting rows keep their input features, matching the
             # reference's boolean-indexed in-place update.
-            return jnp.where(mask[..., None], x, x_in)
+            x = jnp.where(mask[..., None], x, x_in)
+        if return_overflow:
+            return x, overflow
         return x

@@ -9,6 +9,8 @@ final (C, plane_size, plane_size) feature plane.
 """
 from __future__ import annotations
 
+from typing import Any, Optional
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -45,6 +47,9 @@ class LocalPoolPointnet(nn.Module):
     n_blocks: int = 5
     radius: float = 1.0
     scatter_type: str = "max"  # pooling for the per-block local features
+    dtype: Optional[Any] = None  # compute dtype for the Dense/ResNet matmuls
+    # (params stay fp32); the final plane scatter-mean always accumulates in
+    # fp32 — a bf16 sum over ~15k points/cell loses ~7 bits of mantissa.
 
     @nn.compact
     def __call__(self, p: jax.Array) -> jax.Array:
@@ -53,8 +58,9 @@ class LocalPoolPointnet(nn.Module):
         n_cells = self.plane_size ** 2
         index = _coord_index(p[..., :2], self.plane_size, self.radius)  # (B, T)
 
-        net = nn.Dense(2 * self.hidden_dim)(p)
-        net = ResnetBlockFC(self.hidden_dim, name="block_0")(net)
+        net = nn.Dense(2 * self.hidden_dim, dtype=self.dtype)(p)
+        net = ResnetBlockFC(self.hidden_dim, name="block_0",
+                            dtype=self.dtype)(net)
         for i in range(1, self.n_blocks):
             if self.scatter_type == "max":
                 pooled = jax.vmap(_scatter_max_gather, in_axes=(0, 0, None))(
@@ -64,9 +70,11 @@ class LocalPoolPointnet(nn.Module):
                     lambda cc, ii: _scatter_mean(cc, ii, n_cells)[ii]
                 )(net, index)
             net = jnp.concatenate([net, pooled], axis=-1)
-            net = ResnetBlockFC(self.hidden_dim, name=f"block_{i}")(net)
+            net = ResnetBlockFC(self.hidden_dim, name=f"block_{i}",
+                                dtype=self.dtype)(net)
 
-        c = nn.Dense(self.c_dim)(net)  # (B, T, C)
-        plane = jax.vmap(_scatter_mean, in_axes=(0, 0, None))(c, index, n_cells)
+        c = nn.Dense(self.c_dim, dtype=self.dtype)(net)  # (B, T, C)
+        plane = jax.vmap(_scatter_mean, in_axes=(0, 0, None))(
+            c.astype(jnp.float32), index, n_cells)
         plane = plane.transpose(0, 2, 1)  # (B, C, cells)
         return plane.reshape(-1, self.c_dim, self.plane_size, self.plane_size)

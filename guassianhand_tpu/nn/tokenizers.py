@@ -10,6 +10,7 @@ Counterparts of:
 from __future__ import annotations
 
 import math
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -45,6 +46,7 @@ class TriplaneLearnablePositionalEmbedding(nn.Module):
 
 class TriplaneUpsampler(nn.Module):
     out_channels: int = 80
+    dtype: Optional[Any] = None  # compute dtype (params stay fp32)
 
     @nn.compact
     def __call__(self, triplanes):
@@ -52,6 +54,6 @@ class TriplaneUpsampler(nn.Module):
         b, np_, c, s, _ = triplanes.shape
         x = triplanes.reshape(b * np_, c, s, s).transpose(0, 2, 3, 1)  # NHWC
         x = nn.ConvTranspose(self.out_channels, kernel_size=(2, 2),
-                             strides=(2, 2))(x)
+                             strides=(2, 2), dtype=self.dtype)(x)
         x = x.transpose(0, 3, 1, 2)
         return x.reshape(b, np_, self.out_channels, 2 * s, 2 * s)

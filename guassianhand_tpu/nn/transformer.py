@@ -19,18 +19,26 @@ MXU-friendly batched matmuls; sequence length is 2048 triplane tokens.
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
 
+# ``dtype`` throughout is the flax compute dtype (None = today's fp32
+# promotion, bit-for-bit). param_dtype stays fp32 so ported checkpoints are
+# unchanged. Under bfloat16 the block residual stream runs bf16 (the LLM-
+# training convention), LayerNorm/GroupNorm statistics stay fp32 (flax
+# force_float32_reductions default) and the attention softmax is forced
+# fp32 (force_fp32_for_softmax) — only the MXU matmuls see bf16 operands.
+
 
 class GEGLU(nn.Module):
     dim_out: int
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Dense(self.dim_out * 2)(x)
+        h = nn.Dense(self.dim_out * 2, dtype=self.dtype)(x)
         h, gate = jnp.split(h, 2, axis=-1)
         # exact (erf) gelu: diffusers GEGLU uses F.gelu(approximate='none')
         # (transformers.py:468-470) — the tanh approximation drifts ~1e-3
@@ -40,32 +48,39 @@ class GEGLU(nn.Module):
 
 class FeedForward(nn.Module):
     mult: int = 4
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
         dim = x.shape[-1]
-        h = GEGLU(dim * self.mult)(x)
-        return nn.Dense(dim)(h)
+        h = GEGLU(dim * self.mult, dtype=self.dtype)(x)
+        return nn.Dense(dim, dtype=self.dtype)(h)
 
 
 class Attention(nn.Module):
     heads: int
     head_dim: int
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, context=None):
         context = x if context is None else context
         inner = self.heads * self.head_dim
-        q = nn.Dense(inner, use_bias=False)(x)
-        k = nn.Dense(inner, use_bias=False)(context)
-        v = nn.Dense(inner, use_bias=False)(context)
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype)(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype)(context)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype)(context)
 
         def split(t):
             return t.reshape(*t.shape[:-1], self.heads, self.head_dim)
 
-        o = nn.dot_product_attention(split(q), split(k), split(v))
+        if self.dtype is None:
+            o = nn.dot_product_attention(split(q), split(k), split(v))
+        else:
+            o = nn.dot_product_attention(split(q), split(k), split(v),
+                                         dtype=self.dtype,
+                                         force_fp32_for_softmax=True)
         o = o.reshape(*x.shape[:-1], inner)
-        return nn.Dense(inner)(o)
+        return nn.Dense(inner, dtype=self.dtype)(o)
 
 
 class AdaLayerNormContinuous(nn.Module):
@@ -84,19 +99,22 @@ class TransformerBlock(nn.Module):
     heads: int
     head_dim: int
     modulation_dim: Optional[int] = None
+    dtype: Optional[Any] = None
 
     def _norm(self, x, cond, name):
         if self.modulation_dim is not None and cond is not None:
             return AdaLayerNormContinuous(name=name)(x, cond)
-        return nn.LayerNorm(name=name)(x)
+        return nn.LayerNorm(name=name, dtype=self.dtype)(x)
 
     def _body(self, x, cond, context):
         h = self._norm(x, cond, "norm1")
-        x = x + Attention(self.heads, self.head_dim, name="attn1")(h)
+        x = x + Attention(self.heads, self.head_dim, dtype=self.dtype,
+                          name="attn1")(h)
         h = self._norm(x, cond, "norm2")
-        x = x + Attention(self.heads, self.head_dim, name="attn2")(h, context)
+        x = x + Attention(self.heads, self.head_dim, dtype=self.dtype,
+                          name="attn2")(h, context)
         h = self._norm(x, cond, "norm3")
-        x = x + FeedForward(name="ff")(h)
+        x = x + FeedForward(name="ff", dtype=self.dtype)(h)
         return x
 
     @nn.compact
@@ -119,6 +137,7 @@ class Transformer1D(nn.Module):
     head_dim: int = 64
     norm_groups: int = 32
     modulation_dim: Optional[int] = None
+    dtype: Optional[Any] = None  # compute dtype for proj/blocks (params fp32)
     remat: bool = False   # gradient checkpointing per block: the counterpart
     # of the reference's enable_gradient_checkpointing /
     # snowflake/attention.py checkpointed MHA — trades FLOPs for HBM by
@@ -139,7 +158,7 @@ class Transformer1D(nn.Module):
             tokens.transpose(0, 2, 1)
         )  # flax GroupNorm normalizes the last dim; tokens -> (B, N, C)
         inner = self.heads * self.head_dim
-        h = nn.Dense(inner)(h)
+        h = nn.Dense(inner, dtype=self.dtype)(h)
         if self.scan:
             block_cls = _ScanTransformerBlock
             if self.remat:
@@ -150,7 +169,8 @@ class Transformer1D(nn.Module):
                 split_rngs={"params": True, "dropout": True},
                 length=self.num_layers,
                 in_axes=(nn.broadcast,),
-            )(self.heads, self.head_dim, self.modulation_dim, name="blocks")
+            )(self.heads, self.head_dim, self.modulation_dim,
+              dtype=self.dtype, name="blocks")
             h, _ = blocks(h, (modulation_cond, context))
         else:
             block_cls = (nn.remat(TransformerBlock, static_argnums=())
@@ -158,7 +178,8 @@ class Transformer1D(nn.Module):
             for i in range(self.num_layers):
                 h = block_cls(
                     self.heads, self.head_dim, self.modulation_dim,
+                    dtype=self.dtype,
                     name=f"block_{i}")(h, cond=modulation_cond,
                                        context=context)
-        h = nn.Dense(c)(h)
-        return h.transpose(0, 2, 1) + residual
+        h = nn.Dense(c, dtype=self.dtype)(h)
+        return h.transpose(0, 2, 1).astype(residual.dtype) + residual

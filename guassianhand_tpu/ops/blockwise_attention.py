@@ -31,11 +31,10 @@ NEG_INF = -1e30
 # recomputes) where the scan path's remat backward shares one. Kept
 # env-gated OFF for future hardware / head shapes; parity-tested in
 # tests/test_attention.py.
-_FLASH_MODE = os.environ.get("GH_FLASH_ATTN", "0")
 
 
 def _use_flash() -> bool:
-    return _FLASH_MODE == "1"
+    return os.environ.get("GH_FLASH_ATTN", "0") == "1"
 
 
 def _flash_attention_masked(q, k, v, mask, scale):
@@ -72,10 +71,17 @@ def blockwise_attention(q, k, v, mask=None, q_chunk: int = 1024,
     blend with the residual). Returns (N, H, D).
 
     ``flash``: True/False forces the Pallas kernel / XLA scan path; None
-    (default) follows $GH_FLASH_ATTN, else uses the kernel on TPU backends.
+    (default) follows $GH_FLASH_ATTN (read at trace time; off by default —
+    the kernel measured slower at the interaction head shape, see above).
     """
     n, h, d = q.shape
-    scale = 1.0 / jnp.sqrt(jnp.asarray(d, q.dtype))
+    # softmax statistics, probabilities and the output accumulator are ALWAYS
+    # fp32 (the carry below); only the two MXU matmuls see the operand dtype.
+    # With bf16 q/k/v (the one-shot compute_dtype path) the logits and the
+    # p@v products accumulate in fp32 via preferred_element_type — the
+    # standard mixed-precision flash-attention recipe. For fp32 inputs
+    # preferred_element_type=f32 is the existing default: bit-identical.
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
 
     if _use_flash() if flash is None else flash:
         m = mask if mask is not None else jnp.ones((n,), bool)
@@ -113,13 +119,16 @@ def blockwise_attention(q, k, v, mask=None, q_chunk: int = 1024,
         def body(carry, inp):
             m_run, l_run, acc = carry
             k_blk, v_blk, km = inp
-            s = jnp.einsum("qhd,khd->hqk", q_blk, k_blk) * scale
+            s = jnp.einsum("qhd,khd->hqk", q_blk, k_blk,
+                           preferred_element_type=jnp.float32) * scale
             s = jnp.where(km[None, None, :], s, NEG_INF)
             m_new = jnp.maximum(m_run, s.max(axis=-1))
             p = jnp.exp(s - m_new[..., None])
             corr = jnp.exp(m_run - m_new)
             l_new = l_run * corr + p.sum(axis=-1)
-            acc = acc * corr[..., None] + jnp.einsum("hqk,khd->hqd", p, v_blk)
+            acc = acc * corr[..., None] + jnp.einsum(
+                "hqk,khd->hqd", p.astype(v_blk.dtype), v_blk,
+                preferred_element_type=jnp.float32)
             return (m_new, l_new, acc), None
 
         init = (jnp.full((h, q_chunk), NEG_INF),
@@ -148,16 +157,20 @@ def ring_blockwise_attention(q, k, v, mask, axis_name: str, n_dev: int):
     collectives ride ICI, memory stays O(N/D * N/D) per step.
     """
     n_loc, h, d = q.shape
-    scale = 1.0 / jnp.sqrt(jnp.asarray(d, q.dtype))
+    # fp32 softmax statistics / accumulator regardless of operand dtype —
+    # the same mixed-precision recipe as blockwise_attention above
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
     perm = [(j, (j + 1) % n_dev) for j in range(n_dev)]
 
     def stats(kc, vc, mc):
-        s = jnp.einsum("qhd,khd->hqk", q, kc) * scale
+        s = jnp.einsum("qhd,khd->hqk", q, kc,
+                       preferred_element_type=jnp.float32) * scale
         s = jnp.where(mc[None, None, :], s, NEG_INF)
         m = s.max(axis=-1)                       # (h, n_loc)
         p = jnp.exp(s - m[..., None])
         l = p.sum(axis=-1)
-        acc = jnp.einsum("hqk,khd->hqd", p, vc)
+        acc = jnp.einsum("hqk,khd->hqd", p.astype(vc.dtype), vc,
+                         preferred_element_type=jnp.float32)
         return m, l, acc
 
     def body(_, carry):

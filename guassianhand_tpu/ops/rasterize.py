@@ -58,6 +58,17 @@ class RasterizeConfig:
     # reference's radix sort is stable, so stable is the parity default. A
     # config field (not an env read) so it participates in the jit cache key.
     sort_stable: bool = True
+    # Ride the 3 color rows through the (tile, depth) sort as ONE u10x3-
+    # packed int32 lane instead of three f32 lanes (12 -> 10 sort operands;
+    # VERDICT r3 item 3a). The acceptance rule never reads color, so the
+    # only semantic change is color quantization to 1/1023 — under half the
+    # 1/255 uint8 quantum the reference's own eval protocol rounds through
+    # (evaluator.py PNG round-trip) — and color GRADIENTS are exact either
+    # way (dL/dc is the pair weight, which doesn't depend on c). Unpacked
+    # elementwise right after the sort; the kernels see the same 16-row
+    # table. Requires colors in [0, 1] (use_rgb sigmoid output or clamped
+    # SH); values outside clip. Off by default pending the measured A/B.
+    pack_rgb: bool = False
     scale_modifier: float = 1.0
     znear: float = 0.01
     zfar: float = 1000.0
@@ -74,7 +85,8 @@ class RasterizeConfig:
 
 
 def _sorted_attr_table(mean2d, conic, color, opacity, tile_flat, depth, m, g,
-                       stable=True, ntx=1, tile_size=16, num_tiles=1):
+                       stable=True, ntx=1, tile_size=16, num_tiles=1,
+                       pack_rgb=False):
     """Depth-sort the (N, M) pair enumeration WITH the attrs riding the sort.
 
     Returns (tile_s (NM,), attr_sorted (16, NMpad)) where attr rows are
@@ -86,6 +98,12 @@ def _sorted_attr_table(mean2d, conic, color, opacity, tile_flat, depth, m, g,
     Riding the 10 payload rows through the sort costs ~+1.3 ms at the 512^2
     bench but replaces TWO 352k-index gathers (slab eidx + attr build,
     ~5.5 ms) — XLA TPU gathers cost ~9 ns per index regardless of row width.
+
+    pack_rgb: ride r/g/b as ONE u10x3-packed int32 lane (10 sort operands
+    instead of 12), unpacked elementwise after the sort — the kernels see
+    the identical table layout, colors quantized to 1/1023 (see
+    RasterizeConfig.pack_rgb). This sits inside the _composite custom_vjp,
+    so the integer packing is invisible to autodiff.
     """
     n = mean2d.shape[0]
     assert n < (1 << 24), "gaussian ids must stay f32-exact"
@@ -96,15 +114,37 @@ def _sorted_attr_table(mean2d, conic, color, opacity, tile_flat, depth, m, g,
 
     depth_b = bc(jax.lax.stop_gradient(depth))
     gidx_f = bc(jnp.arange(n, dtype=jnp.float32))
-    ops = jax.lax.sort(
-        (tile_flat, depth_b,
-         bc(mean2d[:, 0]), bc(mean2d[:, 1]),
-         bc(conic[:, 0]), bc(conic[:, 1]), bc(conic[:, 2]),
-         bc(color[:, 0]), bc(color[:, 1]), bc(color[:, 2]),
-         bc(opacity), gidx_f),
-        num_keys=2, is_stable=stable)
-    tile_s = ops[0]
-    attr_sorted = jnp.stack(ops[2:], axis=0)  # (10, NM)
+    if pack_rgb:
+        def q10(c):
+            return jnp.round(jnp.clip(c, 0.0, 1.0) * 1023.0).astype(jnp.int32)
+
+        rgb_packed = (q10(color[:, 0]) | (q10(color[:, 1]) << 10)
+                      | (q10(color[:, 2]) << 20))
+        ops = jax.lax.sort(
+            (tile_flat, depth_b,
+             bc(mean2d[:, 0]), bc(mean2d[:, 1]),
+             bc(conic[:, 0]), bc(conic[:, 1]), bc(conic[:, 2]),
+             bc(rgb_packed), bc(opacity), gidx_f),
+            num_keys=2, is_stable=stable)
+        tile_s = ops[0]
+        p = ops[7]
+        inv = jnp.float32(1.0 / 1023.0)
+        attr_sorted = jnp.stack(
+            [ops[2], ops[3], ops[4], ops[5], ops[6],
+             (p & 1023).astype(jnp.float32) * inv,
+             ((p >> 10) & 1023).astype(jnp.float32) * inv,
+             ((p >> 20) & 1023).astype(jnp.float32) * inv,
+             ops[8], ops[9]], axis=0)  # (10, NM)
+    else:
+        ops = jax.lax.sort(
+            (tile_flat, depth_b,
+             bc(mean2d[:, 0]), bc(mean2d[:, 1]),
+             bc(conic[:, 0]), bc(conic[:, 1]), bc(conic[:, 2]),
+             bc(color[:, 0]), bc(color[:, 1]), bc(color[:, 2]),
+             bc(opacity), gidx_f),
+            num_keys=2, is_stable=stable)
+        tile_s = ops[0]
+        attr_sorted = jnp.stack(ops[2:], axis=0)  # (10, NM)
     pad = (-nm) % g + 2 * g
     if kern.FWD_POWER_MXU:
         # Rows 10-15: tile-local polynomial coefficients of `power`, so the
@@ -195,7 +235,8 @@ def _composite_impl(mean2d, conic, color, opacity, tile_flat, depth,
 
     tile_s, attr_sorted = _sorted_attr_table(
         mean2d, conic, color, opacity, tile_flat, depth, m, g,
-        stable=cfg.sort_stable, ntx=ntx, tile_size=ts, num_tiles=num_tiles)
+        stable=cfg.sort_stable, ntx=ntx, tile_size=ts, num_tiles=num_tiles,
+        pack_rgb=cfg.pack_rgb)
     (_, counts, block_off, tile_of_block, base_of_block, src_base,
      overflow_cap, overflow_budget) = binning_lib.slab_layout(
         tile_s, num_tiles, total_blocks, bcfg)

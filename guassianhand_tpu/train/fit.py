@@ -133,6 +133,12 @@ def make_fit_step(model_apply: Callable, vgg_loss_fn: Optional[Callable],
             # for this scene — raise max_tiles_per_gaussian /
             # pairs_per_gaussian instead of silently truncating)
             err["overflow"] = jnp.sum(out["overflow"]).astype(jnp.float32)
+        if "interaction_overflow" in out:
+            # same honesty rule for the interaction-attention budget
+            # (OneShotConfig.interaction_cap): nonzero means interacting
+            # points fell back to pass-through — raise the cap
+            err["interaction_overflow"] = jnp.sum(
+                out["interaction_overflow"]).astype(jnp.float32)
         return total + reg, err
 
     # donate params/opt_state: they are consumed and returned updated each

@@ -1,0 +1,103 @@
+"""bf16 quality gate on the real workload (VERDICT r3 item 1): fit 50 steps
+on the synthetic scene in fp32 and in bf16 from identical init, render the
+fitted avatar, and require the bf16 run's PSNR against the target to sit
+within 0.1 dB of the fp32 run's.
+
+Also A/Bs OneShotConfig.interaction_cap (VERDICT r3 item 5) when
+GH_GATE_CAP is set: step time with cap vs without, asserting
+interaction_overflow == 0 at the measured synthetic p99 cap.
+
+Usage: python scripts/bf16_psnr_gate.py [--steps 50] [--hw 256]
+"""
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+
+
+def psnr(a, b):
+    mse = float(np.mean((np.asarray(a) - np.asarray(b)) ** 2))
+    return 10.0 * np.log10(1.0 / max(mse, 1e-12))
+
+
+def run_fit(compute_dtype, steps, hw, scene, batch, raster, cap=None):
+    from guassianhand_tpu.models.one_shot import (OneShotAvatarModel,
+                                                  OneShotConfig)
+    from guassianhand_tpu.render.renderer import RendererConfig
+    from guassianhand_tpu.train.fit import (FitConfig, make_fit_step,
+                                            make_optimizer)
+    from guassianhand_tpu.train.losses import LossWeights
+    from guassianhand_tpu.train.vgg import VGGLoss
+
+    cfg = OneShotConfig(compute_dtype=compute_dtype, interaction_cap=cap,
+                        renderer=RendererConfig(raster=raster))
+    model = OneShotAvatarModel(cfg=cfg)
+    params = jax.jit(model.init, static_argnums=(2, 3))(
+        jax.random.PRNGKey(0), batch, hw, hw)
+    fit_cfg = FitConfig(weights=LossWeights(vgg=0.1))
+    optimizer = make_optimizer(params, fit_cfg)
+    opt_state = optimizer.init(params)
+    step_fn = make_fit_step(lambda p, b: model.apply(p, b, hw, hw),
+                            VGGLoss(), optimizer, fit_cfg)
+    params, opt_state, loss, err = step_fn(params, opt_state, batch)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(steps - 1):
+        params, opt_state, loss, err = step_fn(params, opt_state, batch)
+    jax.block_until_ready(loss)
+    # mask is fixed across steps, so the final step's count is THE count
+    inter_ov = float(err.get("interaction_overflow", 0.0))
+    ms = 1e3 * (time.perf_counter() - t0) / max(steps - 1, 1)
+    out = jax.jit(lambda p, b: model.apply(p, b, hw, hw))(params, batch)
+    p = psnr(out["comp_rgb"][0, 0], batch["target_rgb"][0])
+    tag = compute_dtype or "fp32"
+    if cap is not None:
+        tag += f"+cap{cap}"
+    print(f"[gate] {tag:16s} {steps} steps: {ms:7.2f} ms/step  "
+          f"final loss {float(loss):.5f}  PSNR {p:.3f} dB  "
+          f"interaction_overflow {inter_ov:.0f}", flush=True)
+    return p, ms, inter_ov
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--hw", type=int, default=256)
+    args = ap.parse_args()
+
+    from guassianhand_tpu.utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache()
+    from guassianhand_tpu.data.synthetic import (SyntheticHandScene,
+                                                 synthetic_batch)
+    from guassianhand_tpu.ops.rasterize import RasterizeConfig
+
+    raster = RasterizeConfig(max_tiles_per_gaussian=8)
+    scene = SyntheticHandScene.build(n_vertices=778, subdivide=2,
+                                     height=args.hw, width=args.hw)
+    batch = synthetic_batch(scene, seed=0, raster=raster)
+    print(f"[gate] backend={jax.devices()[0].platform} n={scene.n_points} "
+          f"interacting={int(np.asarray(batch['inter_mask']).sum())}",
+          flush=True)
+
+    p32, ms32, _ = run_fit(None, args.steps, args.hw, scene, batch, raster)
+    p16, ms16, _ = run_fit("bfloat16", args.steps, args.hw, scene, batch,
+                           raster)
+    delta = abs(p32 - p16)
+    print(f"[gate] PSNR delta {delta:.4f} dB (gate: <= 0.1); "
+          f"speedup {ms32/ms16:.2f}x", flush=True)
+    if os.environ.get("GH_GATE_CAP", "1") == "1":
+        # synthetic p99 interacting count is 15,057 of 15,404 (ROADMAP r4);
+        # cap = 15 * chunk(1024) = 15360 holds it with margin
+        run_fit("bfloat16", min(args.steps, 20), args.hw, scene, batch,
+                raster, cap=15360)
+    sys.exit(0 if delta <= 0.1 else 3)
+
+
+if __name__ == "__main__":
+    main()

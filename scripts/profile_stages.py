@@ -153,7 +153,11 @@ def model_profile():
     # carries re-materialize and cross-layer fusion is blocked). Default
     # matches OneShotConfig.backbone_scan=False, the deploy configuration.
     scan = os.environ.get("GH_PROF_SCAN", "0") == "1"
+    # GH_PROF_BF16=1 measures the mixed-precision feature pipeline
+    # (OneShotConfig.compute_dtype="bfloat16"; VERDICT r3 item 1)
+    bf16 = os.environ.get("GH_PROF_BF16", "0") == "1"
     cfg = OneShotConfig(backbone_scan=scan,
+                        compute_dtype="bfloat16" if bf16 else None,
                         renderer=RendererConfig(raster=raster))
     scene = SyntheticHandScene.build(n_vertices=778, subdivide=2, height=hw,
                                      width=hw)
@@ -166,10 +170,22 @@ def model_profile():
     params = jax.jit(model.init, static_argnums=(2, 3))(
         jax.random.PRNGKey(0), batch, hw, hw)
 
-    fit_cfg = FitConfig(weights=LossWeights(vgg=0.0))
+    # The reference applies lambda_vgg=0.1 on EVERY fitting step
+    # (config/one_shot.json lambdas; utils.py:120-280), so the profiled step
+    # includes it by default — pretrained weights are not needed to MEASURE
+    # it (a random-init VGG19 has identical FLOPs). GH_PROF_VGG=0 reproduces
+    # the round-3 vgg-less row.
+    vgg_on = os.environ.get("GH_PROF_VGG", "1") == "1"
+    vgg_fn = None
+    if vgg_on:
+        from guassianhand_tpu.train.vgg import VGGLoss
+        vgg_fn = VGGLoss()
+        print(f"[t] vgg loss: ON (pretrained={vgg_fn.pretrained})",
+              flush=True)
+    fit_cfg = FitConfig(weights=LossWeights(vgg=0.1 if vgg_on else 0.0))
     optimizer = make_optimizer(params, fit_cfg)
     opt_state = optimizer.init(params)
-    step_fn = make_fit_step(lambda p, b: model.apply(p, b, hw, hw), None,
+    step_fn = make_fit_step(lambda p, b: model.apply(p, b, hw, hw), vgg_fn,
                             optimizer, fit_cfg)
 
     # Varied batches so the relay cannot cache identical executions.

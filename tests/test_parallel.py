@@ -252,3 +252,42 @@ def test_ring_attention_matches_dense():
         out = fn(q, k, v, mask)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
                                rtol=1e-4)
+
+
+def test_exchange_balance_cyclic_beats_banded_at_scale():
+    """Representative-scale load balance of the Gaussian->tile exchange
+    (VERDICT r3 item 4; SURVEY §7.5.5): on a spatially-concentrated two-hand
+    scene (~30k Gaussians on a 256^2 canvas) the shipped CYCLIC tile
+    ownership must stay near-balanced (max/mean < 1.5 over 8 virtual
+    devices) while contiguous row bands hot-shard; and the measured
+    per-(src,dst) bucket maxima must justify a far tighter all_to_all
+    capacity than the lossless default."""
+    from guassianhand_tpu.parallel.raster_shard import exchange_balance_stats
+
+    scene = SyntheticHandScene.build(n_vertices=778, subdivide=2, height=256,
+                                     width=256)
+    batch = synthetic_batch(scene, seed=0, raster=RASTER, with_target=False)
+    pts = batch["points"][0]
+    # two stacked copies (slightly offset) ~ the renderer's 2N densified
+    # capacity => 30,808 Gaussians, >= the 24k bench-class bar
+    pts2 = jnp.concatenate([pts, pts + 1e-3], axis=0)
+    gs = scene.decoration_gaussians(pts2)
+    gs = jax.tree_util.tree_map(lambda a: a[None], gs)  # (1, N, ...)
+
+    cfg = RasterizeConfig(max_tiles_per_gaussian=8)
+    stats = exchange_balance_stats(
+        gs, batch["w2c_render"], batch["K_render"], height=256, width=256,
+        n_model=8, config=cfg)
+
+    assert stats["live_pairs"] > 50_000  # genuinely concentrated + busy
+    diag = stats["diagonal"]
+    assert diag["max_over_mean"] < 1.5, stats
+    # hands cover a minority of tile rows AND columns: both naive schemes
+    # must be measurably worse than the shipped diagonal permutation
+    # (plain cyclic degenerates to column stripes at ntx % n_model == 0)
+    assert stats["banded"]["max_over_mean"] > diag["max_over_mean"], stats
+    assert stats["cyclic"]["max_over_mean"] > diag["max_over_mean"], stats
+    # the lossless default capacity is n_model-fold padded vs what the
+    # busiest (src,dst) bucket actually carries
+    assert stats["capacity_padding_factor"] > 2.0, stats
+    assert stats["suggested_capacity"] < stats["default_capacity"], stats

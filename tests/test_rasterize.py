@@ -4,6 +4,7 @@
 2. Pallas forward == oracle forward (same acceptance semantics)
 3. Pallas backward == oracle autodiff gradients (pixel-grad allclose)
 """
+import dataclasses
 import functools
 
 import jax
@@ -390,3 +391,56 @@ def test_opacity_cull_is_exact_and_reduces_pairs():
         hw, hw, bg, CFG.tile_size, opacity_cull=False)
     np.testing.assert_array_equal(np.asarray(img_c), np.asarray(img_n))
     np.testing.assert_array_equal(np.asarray(t_c), np.asarray(t_n))
+
+
+def test_pack_rgb_quantization_bound_and_exact_color_grads():
+    """RasterizeConfig.pack_rgb rides r/g/b through the sort as one u10x3
+    int32 lane (VERDICT r3 item 3a). Contract: the image differs from the
+    unpacked render by at most the 1/1023 color quantum (accumulated weights
+    sum to <= 1 per pixel), the mask is bit-identical (acceptance never
+    reads color), and COLOR gradients are exactly equal (dL/dc = pair
+    weight, independent of c). Other grads move only by the quantization."""
+    cam = make_camera(96, 96)
+    g = make_gaussians(512, seed=3, scale_range=(0.01, 0.05))
+    base = RasterizeConfig(interpret=True, max_tiles_per_gaussian=8)
+    packed = RasterizeConfig(interpret=True, max_tiles_per_gaussian=8,
+                             pack_rgb=True)
+    tgt = jnp.asarray(np.random.RandomState(0).uniform(
+        0, 1, (96, 96, 3)).astype(np.float32))
+
+    def render(cfg):
+        return rasterize(g, cam, height=96, width=96, use_rgb=True,
+                         config=cfg)
+
+    o0, o1 = render(base), render(packed)
+    assert np.array_equal(np.asarray(o0["comp_mask"]),
+                          np.asarray(o1["comp_mask"]))
+    delta = np.abs(np.asarray(o0["comp_rgb"]) - np.asarray(o1["comp_rgb"]))
+    assert delta.max() <= 0.75 / 1023.0, delta.max()  # half-quantum rounding
+
+    # a LINEAR image functional so dL/dpixel is a constant: under it the
+    # color gradient dL/dc = sum of pair weights (alpha * transmittance),
+    # which never reads color values -> must be EXACTLY equal. (A nonlinear
+    # loss like L1 would flip sign bits wherever the 1/1023 forward
+    # perturbation crosses the target.)
+    def loss(shs, cfg):
+        gg = dataclasses.replace(g, shs=shs)
+        out = rasterize(gg, cam, height=96, width=96, use_rgb=True,
+                        config=cfg)
+        return jnp.sum(out["comp_rgb"] * tgt)
+
+    gc0 = jax.grad(lambda s: loss(s, base))(g.shs)
+    gc1 = jax.grad(lambda s: loss(s, packed))(g.shs)
+    np.testing.assert_array_equal(np.asarray(gc0), np.asarray(gc1))
+
+    def loss_op(op, cfg):
+        gg = dataclasses.replace(g, opacity=op)
+        out = rasterize(gg, cam, height=96, width=96, use_rgb=True,
+                        config=cfg)
+        return jnp.sum(out["comp_rgb"] * tgt)
+
+    go0 = jax.grad(lambda o: loss_op(o, base))(g.opacity)
+    go1 = jax.grad(lambda o: loss_op(o, packed))(g.opacity)
+    rel = (np.linalg.norm(np.asarray(go0 - go1))
+           / max(np.linalg.norm(np.asarray(go0)), 1e-12))
+    assert rel < 2e-3, rel  # perturbed only by the 1/1023 color quanta
