@@ -141,3 +141,47 @@ def test_blockwise_attention_bf16_operands_fp32_stats():
     assert o16.dtype == jnp.float32  # fp32 accumulator all the way out
     err = np.abs(np.asarray(o16) - np.asarray(o32)).max()
     assert err < 0.03, err  # bf16 operand rounding only
+
+
+def test_fit_step_surfaces_interaction_overflow():
+    """interaction_cap through the FULL fit step (VERDICT r3 item 5): with a
+    budget that holds the interacting set, err['interaction_overflow'] must
+    be 0 (the exactness certificate the flagship config relies on); with an
+    undersized budget it must count the dropped rows. Uses a subdivide=1
+    scene (n=488) so the cap path's 128-row floor genuinely engages on both
+    arms (the 128-point tiny scene would bypass it)."""
+    from guassianhand_tpu.data.synthetic import (SyntheticHandScene,
+                                                 synthetic_batch)
+    from guassianhand_tpu.train.fit import (FitConfig, make_fit_step,
+                                            make_optimizer)
+    from guassianhand_tpu.train.losses import LossWeights
+
+    scene = SyntheticHandScene.build(n_vertices=64, subdivide=1, height=32,
+                                     width=32)
+    batch = synthetic_batch(scene, seed=0, raster=RasterizeConfig(
+        interpret=True, max_tiles_per_gaussian=4))
+    n = int(batch["points"].shape[1])
+    n_inter = int(np.asarray(batch["inter_mask"]).sum())
+    assert n > 128 and 128 < n_inter < n, (n, n_inter)
+
+    def one_step(cap):
+        model = OneShotAvatarModel(cfg=_tiny_cfg(interaction_cap=cap))
+        assert cap < n  # the cap path must actually engage
+        params = jax.jit(model.init, static_argnums=(2, 3))(
+            jax.random.PRNGKey(0), batch, 32, 32)
+        fit_cfg = FitConfig(weights=LossWeights(vgg=0.0))
+        optimizer = make_optimizer(params, fit_cfg)
+        opt_state = optimizer.init(params)
+        step = make_fit_step(lambda p, b: model.apply(p, b, 32, 32), None,
+                             optimizer, fit_cfg)
+        b = dict(batch)
+        b["target_rgb"] = jnp.zeros((1, 32, 32, 3))
+        b["target_mask"] = jnp.zeros((1, 32, 32))
+        _, _, _, err = step(params, opt_state, b)
+        return float(err["interaction_overflow"])
+
+    # cap >= interacting count: exact, zero overflow
+    assert one_step(min(n_inter + 8, n - 1)) == 0.0
+    # undersized cap (floors to 128 gathered slots): counts dropped rows
+    over = one_step(1)
+    assert over == float(n_inter - 128), (over, n_inter)
