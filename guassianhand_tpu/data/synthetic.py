@@ -77,12 +77,20 @@ class SyntheticHandScene:
     def n_points(self) -> int:
         return self.plans_r[-1].n_vertices_out + self.plans_l[-1].n_vertices_out
 
-    def pose_points(self, pose_r, pose_l, betas=None):
-        """Returns posed (N, 3) concat [right, left] subdivided vertices."""
+    def pose_points(self, pose_r, pose_l, betas=None, separation=0.08):
+        """Returns posed (N, 3) concat [right, left] subdivided vertices.
+
+        ``separation`` is the left hand's +x offset. The 0.08 default makes
+        the hands overlap (a worst-case interacting scene, ~100% of points
+        interact); larger values leave only a contact band interacting —
+        the regime the reference's interaction detector targets
+        (renderer_one_shot.py:554-574) and where ``interaction_cap`` pays.
+        """
         betas = jnp.zeros(10) if betas is None else betas
         vr, _ = lbs(self.model_r, betas, pose_r)
         vl, _ = lbs(self.model_l, betas, pose_l)
-        vl = vl * jnp.array([-1.0, 1.0, 1.0]) + jnp.array([0.08, 0.0, 0.0])
+        vl = vl * jnp.array([-1.0, 1.0, 1.0]) + jnp.array(
+            [separation, 0.0, 0.0])
         vr = subdivide_n(vr, self.plans_r)
         vl = subdivide_n(vl, self.plans_l)
         return jnp.concatenate([vr, vl], axis=0)
@@ -118,15 +126,16 @@ class SyntheticHandScene:
 def synthetic_batch(scene: SyntheticHandScene, seed: int = 0,
                     pose_scale: float = 0.3,
                     raster: Optional[RasterizeConfig] = None,
-                    with_target: bool = True) -> Dict:
+                    with_target: bool = True,
+                    separation: float = 0.08) -> Dict:
     """Build a model-ready batch dict (B=1) from the scene."""
     rng = np.random.RandomState(seed)
     pose_r = jnp.asarray(rng.uniform(-pose_scale, pose_scale, 48), jnp.float32)
     pose_l = jnp.asarray(rng.uniform(-pose_scale, pose_scale, 48), jnp.float32)
     tpose = jnp.zeros(48)
 
-    points = scene.pose_points(pose_r, pose_l)
-    points_t = scene.pose_points(tpose, tpose)
+    points = scene.pose_points(pose_r, pose_l, separation=separation)
+    points_t = scene.pose_points(tpose, tpose, separation=separation)
     inter = interaction_mask(points, points_t, k=min(100, points.shape[0] // 4))
 
     K = jnp.asarray(scene.K)
