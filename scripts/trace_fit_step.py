@@ -59,10 +59,17 @@ def build_step():
     return step_fn, params, opt_state, batch, scene.n_points, cfg
 
 
-def summarize(logdir: str, out_md: str, meta: str, n_steps: int = 3):
+def summarize(logdir: str, out_md: str, meta: str, n_steps: int = 3,
+              real_ms: float = None):
     """Parse the captured xplane into a top-ops table via
     jax.profiler.ProfileData (no external converter): aggregate the device
-    plane's "XLA Ops" line by op name."""
+    plane's "XLA Ops" line by op name, plus a grouped-by-op-class table.
+
+    real_ms: the uninstrumented step time; the doc reports the capture
+    faithfulness ratio (device-op ms/step vs real). Programs with thousands
+    of small ops (e.g. unrolled transformer stacks) inflate several-fold
+    under per-op tracing — the grouped table is then a RANKING, not a
+    decomposition."""
     paths = sorted(glob.glob(os.path.join(
         logdir, "plugins/profile/*/*.xplane.pb")))
     assert paths, f"no xplane capture under {logdir}"
@@ -96,11 +103,38 @@ def summarize(logdir: str, out_md: str, meta: str, n_steps: int = 3):
         lines.append(f"(no device-op events found; planes: {planes})")
     else:
         total = sum(v[0] for v in agg.values())
-        top = sorted(agg.items(), key=lambda kv: -kv[1][0])
+        per_step = total / 1e6 / n_steps
         lines += [f"Total device op time in capture: {total/1e6:.2f} ms "
-                  f"({n_steps} steps -> {total/1e6/n_steps:.2f} ms/step)", "",
+                  f"({n_steps} steps -> {per_step:.2f} ms/step)", ""]
+        if real_ms:
+            ratio = per_step / real_ms
+            lines += [
+                f"Uninstrumented step: {real_ms:.2f} ms -> capture "
+                f"faithfulness {ratio:.2f}x."
+                + ("" if ratio < 1.3 else
+                   " Per-op tracing inflates this program (many small ops);"
+                   " read the tables as a RANKING of where time goes, not"
+                   " an absolute decomposition."), ""]
+        # grouped by op class (fusion/while/sort/custom-call/copy/...):
+        # robust to the per-op noise of huge unrolled programs
+        groups = {}
+        for name, (ns, cnt) in agg.items():
+            cls = name.lstrip("%").split(".")[0].split(" ")[0]
+            rec = groups.setdefault(cls, [0, 0])
+            rec[0] += ns
+            rec[1] += cnt
+        lines += ["## By op class", "",
+                  "| class | calls | total ms | ms/step | % |",
+                  "|---|---|---|---|---|"]
+        for cls, (ns, cnt) in sorted(groups.items(), key=lambda kv: -kv[1][0]):
+            if ns / max(total, 1) < 0.005:
+                continue
+            lines.append(f"| `{cls}` | {cnt} | {ns/1e6:.2f} | "
+                         f"{ns/1e6/n_steps:.2f} | {100*ns/max(total,1):.1f}% |")
+        lines += ["", "## Top individual ops", "",
                   "| rank | op | calls | total ms | % |",
                   "|---|---|---|---|---|"]
+        top = sorted(agg.items(), key=lambda kv: -kv[1][0])
         for i, (name, (ns, cnt)) in enumerate(top[:25]):
             lines.append(f"| {i+1} | `{name[:90]}` | {cnt} | {ns/1e6:.3f} | "
                          f"{100*ns/max(total,1):.1f}% |")
@@ -165,6 +199,11 @@ def main():
         g = step(*sargs)
         jax.block_until_ready(g)
         t0 = time.perf_counter()
+        for _ in range(args.steps):
+            g = step(*sargs)
+        jax.block_until_ready(g)
+        real_ms = (time.perf_counter() - t0) / args.steps * 1e3
+        t0 = time.perf_counter()
         with jax.profiler.trace(args.logdir):
             for _ in range(args.steps):
                 g = step(*sargs)
@@ -173,7 +212,7 @@ def main():
         meta = (f"Workload: bench.py 512^2 / 49,152 Gaussians fwd+bwd, M=9, "
                 f"pack_rgb={os.environ.get('GH_PACK_RGB', '0')}; "
                 f"{dt:.2f} ms/step during capture.")
-        summarize(args.logdir, out_md, meta, args.steps)
+        summarize(args.logdir, out_md, meta, args.steps, real_ms=real_ms)
         return
 
     out_md = args.out or "docs/TRACE_FIT_STEP.md"
@@ -184,6 +223,11 @@ def main():
     params, opt_state, loss, _ = step_fn(params, opt_state, batch)
     jax.block_until_ready(loss)
     t0 = time.perf_counter()
+    for _ in range(args.steps):
+        params, opt_state, loss, _ = step_fn(params, opt_state, batch)
+    jax.block_until_ready(loss)
+    real_ms = (time.perf_counter() - t0) / args.steps * 1e3
+    t0 = time.perf_counter()
     with jax.profiler.trace(args.logdir):
         for _ in range(args.steps):
             params, opt_state, loss, _ = step_fn(params, opt_state, batch)
@@ -193,7 +237,7 @@ def main():
             f"compute_dtype={cfg.compute_dtype or 'float32'}, "
             f"vgg={'on' if os.environ.get('GH_PROF_VGG','1')=='1' else 'off'}"
             f"; {dt:.1f} ms/step during capture.")
-    summarize(args.logdir, out_md, meta, args.steps)
+    summarize(args.logdir, out_md, meta, args.steps, real_ms=real_ms)
 
 
 if __name__ == "__main__":
