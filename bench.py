@@ -73,7 +73,11 @@ def main():
         block_size=int(os.environ.get("GH_BENCH_BLOCK", "128")),
         tile_size=int(os.environ.get("GH_BENCH_TILE", "16")),
         sort_stable=os.environ.get("GH_SORT_STABLE", "1") != "0",
-        pack_rgb=os.environ.get("GH_PACK_RGB", "0") == "1")
+        # default ON since r4: 15.17 -> 14.89 ms (~9 sigma). Colors ride the
+        # sort u10x3-quantized (1/1023 — under half the reference eval's
+        # uint8 quantum); gradients provably exact (test_rasterize.py),
+        # acceptance semantics untouched (opacity/conic stay fp32).
+        pack_rgb=os.environ.get("GH_PACK_RGB", "1") == "1")
     tgt = jnp.asarray(rng.uniform(0, 1, (hw, hw, 3)).astype(np.float32))
 
     def loss_fn(xyz, scaling, rotation, opacity, shs):
@@ -108,20 +112,29 @@ def main():
     # this size), so this measurement is honest either way.
     n_iters = 20
     repeats = int(os.environ.get("GH_BENCH_REPEATS", "5"))
+    # Salt the perturbations per-process: the relay caches identical execute
+    # requests ACROSS processes too (measured: a re-run with fixed-seed
+    # varied inputs reported 0.04 ms/step — pure cache hits), so fixed-seed
+    # perturbations make a re-run of the same bench silently free. The
+    # 1e-6 jitter doesn't change the workload, only the request bytes.
+    salt = np.random.RandomState((os.getpid() * 2654435761 + int(time.time()))
+                                 % (2**31 - 1))
     varied = [jnp.asarray(np.asarray(gs.xyz)
-                          + 1e-6 * rng.normal(size=gs.xyz.shape)
-                          .astype(np.float32)) for i in range(n_iters)]
+                          + 1e-6 * salt.normal(size=gs.xyz.shape)
+                          .astype(np.float32))
+              for i in range(n_iters * repeats)]
     jax.block_until_ready(varied)
     grads = step(varied[0], *args[1:])
     jax.block_until_ready(grads)
 
     # >=5 independent timed blocks -> mean +- sigma, so a 1% round-over-round
-    # delta is distinguishable from noise (VERDICT r3 weak-item 2)
+    # delta is distinguishable from noise (VERDICT r3 weak-item 2). Every
+    # block gets its own perturbations (no repeated requests anywhere).
     block_ms = []
-    for _ in range(repeats):
+    for r in range(repeats):
         t0 = time.perf_counter()
         for i in range(n_iters):
-            grads = step(varied[i], *args[1:])
+            grads = step(varied[r * n_iters + i], *args[1:])
         jax.block_until_ready(grads)
         block_ms.append(1e3 * (time.perf_counter() - t0) / n_iters)
     step_ms = float(np.mean(block_ms))
@@ -143,6 +156,7 @@ def main():
         "step_ms": round(step_ms, 2),
         "step_ms_sigma": round(step_sigma, 3),
         "step_ms_blocks": [round(b, 2) for b in block_ms],
+        "pack_rgb": cfg.pack_rgb,
     }
     if os.environ.get("GH_BENCH_FIT", "1") == "1" and not fwd_only:
         try:
@@ -188,7 +202,10 @@ def bench_fit_step(iters: int = 10):
     step_fn = make_fit_step(lambda p, b: model.apply(p, b, hw, hw),
                             VGGLoss(), optimizer, fit_cfg)
 
-    rng = np.random.RandomState(1)
+    # per-process salt: see the rasterizer leg — a re-run replays the same
+    # deterministic request sequence otherwise, which the relay can cache
+    rng = np.random.RandomState((os.getpid() * 2246822519 + int(time.time()))
+                                % (2**31 - 1))
     varied = []
     for _ in range(iters):
         b = dict(batch)

@@ -44,7 +44,12 @@ def make_inputs():
     w2c[2, 3] = 1.8
     cam = Camera.from_w2c(w2c, K, HW, HW)
     tgt = jnp.asarray(rng.uniform(0, 1, (HW, HW, 3)).astype(np.float32))
-    varied = [jnp.asarray(xyz + 1e-6 * rng.normal(size=xyz.shape)
+    # per-process salt: the relay caches identical execute requests across
+    # processes, so fixed-seed perturbations make a RE-run of this script
+    # silently free (returns cached results; timings collapse to ~0)
+    salt = np.random.RandomState((os.getpid() * 2654435761 + int(time.time()))
+                                 % (2**31 - 1))
+    varied = [jnp.asarray(xyz + 1e-6 * salt.normal(size=xyz.shape)
                           .astype(np.float32)) for _ in range(ITERS)]
     return gs, cam, tgt, varied
 
@@ -188,8 +193,10 @@ def model_profile():
     step_fn = make_fit_step(lambda p, b: model.apply(p, b, hw, hw), vgg_fn,
                             optimizer, fit_cfg)
 
-    # Varied batches so the relay cannot cache identical executions.
-    rng = np.random.RandomState(1)
+    # Varied batches so the relay cannot cache identical executions —
+    # salted per process (a fixed seed is still cacheable across re-runs).
+    rng = np.random.RandomState((os.getpid() * 2246822519 + int(time.time()))
+                                % (2**31 - 1))
     varied = []
     for _ in range(ITERS):
         b = dict(batch)
