@@ -80,8 +80,12 @@ def main():
         pack_rgb=os.environ.get("GH_PACK_RGB", "1") == "1")
     tgt = jnp.asarray(rng.uniform(0, 1, (hw, hw, 3)).astype(np.float32))
 
-    def loss_fn(xyz, scaling, rotation, opacity, shs):
-        g = Gaussians(xyz=xyz, opacity=opacity, rotation=rotation,
+    def loss_fn(xyz, scaling, rotation, opacity1d, shs):
+        # opacity crosses the jit boundary as (N,) — a (N, 1) f32 parameter
+        # gets a degenerate T(1,128) tiling (one payload element per 128-lane
+        # tile) and its entry/grad DMAs cost ~0.65 ms/step (device trace
+        # rank 5, docs/TRACE_BENCH_STEP.md); the 1-D layout is dense.
+        g = Gaussians(xyz=xyz, opacity=opacity1d[:, None], rotation=rotation,
                       scaling=scaling, shs=shs)
         out = rasterize(g, cam, height=hw, width=hw, use_rgb=True, config=cfg)
         return (jnp.abs(out["comp_rgb"] - tgt).mean()
@@ -92,7 +96,7 @@ def main():
     fwd_only = os.environ.get("GH_BENCH_FWD", "0") == "1"
     step = jax.jit(loss_fn if fwd_only
                    else jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4)))
-    args = (gs.xyz, gs.scaling, gs.rotation, gs.opacity, gs.shs)
+    args = (gs.xyz, gs.scaling, gs.rotation, gs.opacity[:, 0], gs.shs)
 
     # The throughput claim is only honest if no (gaussian, tile) pairs were
     # dropped by the binning caps — assert, don't just count.
@@ -179,8 +183,8 @@ def bench_fit_step(iters: int = 10):
                                                   OneShotConfig)
     from guassianhand_tpu.render.renderer import RendererConfig
     from guassianhand_tpu.ops.rasterize import RasterizeConfig
-    from guassianhand_tpu.train.fit import (FitConfig, make_fit_step,
-                                            make_optimizer)
+    from guassianhand_tpu.train.fit import (FitConfig, attach_static_features,
+                                            make_fit_step, make_optimizer)
     from guassianhand_tpu.train.losses import LossWeights
     from guassianhand_tpu.train.vgg import VGGLoss
 
@@ -201,6 +205,12 @@ def bench_fit_step(iters: int = 10):
     opt_state = optimizer.init(params)
     step_fn = make_fit_step(lambda p, b: model.apply(p, b, hw, hw),
                             VGGLoss(), optimizer, fit_cfg)
+    static_cache = (os.environ.get("GH_BENCH_FIT_STATIC", "1") == "1"
+                    and fit_cfg.static_prefix_cache)
+    if static_cache:
+        # fit-loop semantics: the frozen prefix is computed once per fit
+        # (one-shot refits one constant frame), not once per step
+        batch = attach_static_features(model, params, batch)
 
     # per-process salt: see the rasterizer leg — a re-run replays the same
     # deterministic request sequence otherwise, which the relay can cache
@@ -222,7 +232,8 @@ def bench_fit_step(iters: int = 10):
     return {"fit_step_ms": round(ms, 2),
             "fit_steps_per_s": round(1e3 / ms, 2),
             "fit_workload": f"{hw}^2, n={scene.n_points}, vgg=0.1, "
-                            f"dtype={cfg.compute_dtype or 'float32'}"}
+                            f"dtype={cfg.compute_dtype or 'float32'}, "
+                            f"static_cache={int(static_cache)}"}
 
 
 if __name__ == "__main__":

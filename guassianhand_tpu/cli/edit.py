@@ -101,6 +101,11 @@ def main(argv=None):
                            identity_from_book=args.identity)
 
     step_fn = make_fit_step(model_apply, None, optimizer, fit_cfg)
+    if fit_cfg.static_prefix_cache:
+        # the edit fit also refits one pinned frame (frame-11388): the
+        # frozen prefix (shade branch + embeddings) is per-fit constant
+        from guassianhand_tpu.train.fit import attach_static_features
+        batch = attach_static_features(model, params, batch)
     n_steps = fit_cfg.epochs * fit_cfg.steps_per_epoch
     for i in range(n_steps):
         params, opt_state, loss, err = step_fn(params, opt_state, batch)

@@ -124,6 +124,12 @@ def main(argv=None):
         step_fn = make_fit_step(model_apply,
                                 vgg if vgg and vgg.pretrained else None,
                                 optimizer, fit_cfg)
+        if fit_cfg.static_prefix_cache:
+            # one-shot refits ONE constant frame: precompute the frozen
+            # prefix (shade branch + embeddings) once, not every step
+            from guassianhand_tpu.train.fit import attach_static_features
+            cached = attach_static_features(model, params, batch_fn(0))
+            batch_fn = lambda step: cached  # noqa: E731
         logger = RunLogger(run_dir)
         n_steps = fit_cfg.epochs * fit_cfg.steps_per_epoch
         for i in range(start, n_steps):

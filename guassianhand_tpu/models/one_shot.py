@@ -157,17 +157,24 @@ class OneShotAvatarModel(nn.Module):
         self.xyz_b_map = self.param("xyz_b_map", zeros, (3, mh, mw))
         self.opacity_b = self.param("opacity_b", zeros, (1, mh, mw))
 
-    def scene_codes(self, batch_size, uv_n, uv_pe, id_vert, shade_in):
+    def shade_tokens(self, shade_in):
+        """The shade half of the backbone stack. No per-identity learnable
+        sits upstream of it (its input is built from batch data and frozen
+        embedders only), so during one-shot fitting — which re-fits a single
+        constant frame (infer_one_shot.py:435-439) — this whole branch is a
+        per-fit constant. ``static_features`` precomputes it once."""
+        cond_shade = self.point_encoder_shade(shade_in)
+        tokens_shade = self.tokenizer_shade(cond_shade)
+        return self.backbone_shade(tokens_shade)
+
+    def scene_codes(self, batch_size, uv_n, uv_pe, id_vert, tokens_shade):
         """Build the (B, C80, 2S, 4S) scene-code plane."""
         c = self.cfg
         tex_in = jnp.concatenate([uv_n, uv_pe, id_vert], axis=-1)
         cond_tex = self.point_encoder_texture(tex_in)     # (B, 512, S, S)
-        cond_shade = self.point_encoder_shade(shade_in)
 
         tokens_tex = self.tokenizer_texture(cond_tex)     # (B, 512, 2*S*S)
-        tokens_shade = self.tokenizer_shade(cond_shade)
         tokens_tex = self.backbone(tokens_tex)
-        tokens_shade = self.backbone_shade(tokens_shade)
         tokens = tokens_tex + tokens_shade
 
         planes = self.tokenizer_texture.detokenize(tokens)  # (B,2,512,S,S)
@@ -179,6 +186,54 @@ class OneShotAvatarModel(nn.Module):
         mb = jnp.concatenate([self.map_bias[..., :s2],
                               self.map_bias[..., :s2]], axis=-1)
         return codes + mb[None]
+
+    def _frame_embeds(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+        """Frozen per-frame embeddings: camera/pose MLPs + the positional
+        encodings. Pure functions of the batch and frozen weights."""
+        c = self.cfg
+        points = batch["points"]
+        b = points.shape[0]
+        cam_in = jnp.concatenate(
+            [batch["intrinsic_normed"].reshape(b, -1),
+             batch["c2w"].reshape(b, -1)], axis=-1)
+        camera_feats = self.camera_embedder(cam_in)       # (B, 768)
+        pose_feats = self.pose_embedder(
+            batch["mano_pose"].reshape(b, -1))            # (B, 768)
+        uv = batch["vert_uv"]
+        # normalize packed uv to [-1, 1] (infer_one_shot.py:238-239)
+        uv_n = jnp.stack([2.0 * uv[..., 0] - 1.0,
+                          2.0 * (uv[..., 1] / 0.5) - 1.0], axis=-1)
+        uv_pe = positional_encoding(uv_n, c.pe_levels)    # (B, N, 18)
+        xyz_pe = positional_encoding(points, c.pe_levels)  # (B, N, 27)
+        return {"camera_feats": camera_feats, "pose_feats": pose_feats,
+                "uv_n": uv_n, "uv_pe": uv_pe, "xyz_pe": xyz_pe}
+
+    def static_features(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+        """The fit-constant prefix of the feature pipeline: frame embeddings
+        plus the entire shade branch (pointnet -> tokenizer -> 10-layer
+        backbone). None of it sits downstream of a per-identity learnable,
+        and one-shot fitting re-fits ONE constant frame for every step
+        (infer_one_shot.py:435-439) — so the reference recomputes ~a third
+        of its forward/backward FLOPs per step for values that never change.
+        Compute this once with ``model.apply(params, batch,
+        method="static_features")``, stash the result in
+        ``batch["static_feats"]``, and every subsequent ``__call__`` skips
+        the branch. Matches the uncached forward to fp32 reassociation
+        noise — the prefix compiles as its own XLA program, so fusion
+        boundaries differ while math and inputs are identical
+        (tests/test_model.py::test_static_feature_cache_exact)."""
+        emb = self._frame_embeds(batch)
+        points = batch["points"]
+        b, n, _ = points.shape
+        inter = batch["inter_mask"].astype(jnp.float32)[..., None]
+        shade_in = jnp.concatenate(
+            [emb["uv_n"], emb["uv_pe"], points, emb["xyz_pe"], inter,
+             jnp.broadcast_to(emb["pose_feats"][:, None],
+                              (b, n, emb["pose_feats"].shape[-1])),
+             jnp.broadcast_to(emb["camera_feats"][:, None],
+                              (b, n, emb["camera_feats"].shape[-1]))],
+            axis=-1)  # (B, N, 1587)
+        return {**emb, "tokens_shade": self.shade_tokens(shade_in)}
 
     def features(self, batch: Dict[str, Any],
                  identity_from_book: Optional[int] = None,
@@ -196,19 +251,19 @@ class OneShotAvatarModel(nn.Module):
         points = batch["points"]
         b, n, _ = points.shape
 
-        cam_in = jnp.concatenate(
-            [batch["intrinsic_normed"].reshape(b, -1),
-             batch["c2w"].reshape(b, -1)], axis=-1)
-        camera_feats = self.camera_embedder(cam_in)       # (B, 768)
-        pose_feats = self.pose_embedder(
-            batch["mano_pose"].reshape(b, -1))            # (B, 768)
-
-        uv = batch["vert_uv"]
-        # normalize packed uv to [-1, 1] (infer_one_shot.py:238-239)
-        uv_n = jnp.stack([2.0 * uv[..., 0] - 1.0,
-                          2.0 * (uv[..., 1] / 0.5) - 1.0], axis=-1)
-        uv_pe = positional_encoding(uv_n, c.pe_levels)    # (B, N, 18)
-        xyz_pe = positional_encoding(points, c.pe_levels)  # (B, N, 27)
+        static = batch.get("static_feats")
+        if static is not None:
+            # Precomputed frozen prefix (``static_features``): reuse it,
+            # hard-detached — nothing in it can depend on a learnable.
+            static = jax.tree_util.tree_map(jax.lax.stop_gradient, static)
+            camera_feats = static["camera_feats"]
+            pose_feats = static["pose_feats"]
+            uv_n, uv_pe = static["uv_n"], static["uv_pe"]
+            xyz_pe = static["xyz_pe"]
+        else:
+            emb = self._frame_embeds(batch)
+            camera_feats, pose_feats = emb["camera_feats"], emb["pose_feats"]
+            uv_n, uv_pe, xyz_pe = emb["uv_n"], emb["uv_pe"], emb["xyz_pe"]
 
         id_plane = self.identity_code_one_shot
         if identity_from_book is not None:
@@ -230,13 +285,19 @@ class OneShotAvatarModel(nn.Module):
         id_vert = grid_sample_batched(id_plane_b, uv_n)   # (B, N, 33)
 
         inter = batch["inter_mask"].astype(jnp.float32)[..., None]
-        shade_in = jnp.concatenate(
-            [uv_n, uv_pe, points, xyz_pe, inter,
-             jnp.broadcast_to(pose_feats[:, None], (b, n, pose_feats.shape[-1])),
-             jnp.broadcast_to(camera_feats[:, None], (b, n, camera_feats.shape[-1]))],
-            axis=-1)  # (B, N, 1587)
+        if static is not None:
+            tokens_shade = static["tokens_shade"]
+        else:
+            shade_in = jnp.concatenate(
+                [uv_n, uv_pe, points, xyz_pe, inter,
+                 jnp.broadcast_to(pose_feats[:, None],
+                                  (b, n, pose_feats.shape[-1])),
+                 jnp.broadcast_to(camera_feats[:, None],
+                                  (b, n, camera_feats.shape[-1]))],
+                axis=-1)  # (B, N, 1587)
+            tokens_shade = self.shade_tokens(shade_in)
 
-        codes = self.scene_codes(b, uv_n, uv_pe, id_vert, shade_in)
+        codes = self.scene_codes(b, uv_n, uv_pe, id_vert, tokens_shade)
 
         add_in = jnp.concatenate(
             [uv_n, uv_pe, points, xyz_pe, inter, id_vert,

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os as _os
 from typing import Optional
 
 import numpy as np
@@ -34,6 +35,13 @@ from guassianhand_tpu.ops.binning import BinningConfig
 from guassianhand_tpu.ops.common import T_EPS
 from guassianhand_tpu.ops.projection import project_gaussians
 from guassianhand_tpu.ops.projection_pallas import project_gaussians_pallas
+
+# GH_BWD_SEGSORT=1: reduce per-pair gradients to per-gaussian via
+# sort-by-gaussian-id + indices_are_sorted segment_sum instead of a random
+# duplicate-index scatter-add (the bench step's #1 op by device time).
+# Unset -> RasterizeConfig.grad_segsort decides; "0"/"1" overrides for A/B.
+_BWD_SEGSORT_ENV = {"0": False, "1": True}.get(
+    _os.environ.get("GH_BWD_SEGSORT", ""))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -69,6 +77,16 @@ class RasterizeConfig:
     # table. Requires colors in [0, 1] (use_rgb sigmoid output or clamped
     # SH); values outside clip. Off by default pending the measured A/B.
     pack_rgb: bool = False
+    # Reduce per-pair gradients to per-gaussian via sort-by-gaussian-id +
+    # indices_are_sorted segment_sum instead of a random duplicate-index
+    # scatter-add. The scatter was the bench step's single biggest device op
+    # (3.59 ms/step, docs/TRACE_BENCH_STEP.md rank 1); the sorted reduction
+    # measured 14.71 -> 14.43 ms/step (~5 sigma) at the 512^2 bench. Values
+    # differ only by fp32 summation ORDER within each gaussian's pair sum —
+    # the same equivalence class as XLA's own unspecified scatter-add
+    # combining order — so this defaults ON; gradient oracle-parity tests
+    # run green either way (GH_BWD_SEGSORT=0/1 overrides for A/B).
+    grad_segsort: bool = True
     scale_modifier: float = 1.0
     znear: float = 0.01
     zfar: float = 1000.0
@@ -324,7 +342,27 @@ def _composite_bwd(height, width, cfg, residuals, cotangents):
     live = blk_of_col < ck
     gidx = jnp.where(live, pair_grads[9].astype(jnp.int32), n)
     gidx = jnp.clip(gidx, 0, n)
-    seg = jax.ops.segment_sum(pair_grads[:9].T, gidx, num_segments=n + 1)[:n]
+    use_segsort = (cfg.grad_segsort if _BWD_SEGSORT_ENV is None
+                   else _BWD_SEGSORT_ENV)
+    if use_segsort:
+        # Sort the pair-gradient rows by gaussian id first, then reduce with
+        # indices_are_sorted=True: XLA's TPU scatter-add over random
+        # duplicate indices is the single most expensive op of the whole
+        # bench step (device trace: 3.59 ms/step, docs/TRACE_BENCH_STEP.md
+        # rank 1); a sorted scatter lowers to a cheaper expansion. The
+        # extra key-value sort rides all 9 gradient rows. Unstable sort is
+        # safe here: reordering within one gaussian only permutes the order
+        # of a commutative fp32 sum over <= a few hundred terms (same class
+        # of nondeterminism as XLA's own scatter-add combining order).
+        sorted_ops = jax.lax.sort(
+            (gidx, *[pair_grads[i] for i in range(9)]),
+            num_keys=1, is_stable=False)
+        seg = jax.ops.segment_sum(
+            jnp.stack(sorted_ops[1:], axis=1), sorted_ops[0],
+            num_segments=n + 1, indices_are_sorted=True)[:n]
+    else:
+        seg = jax.ops.segment_sum(
+            pair_grads[:9].T, gidx, num_segments=n + 1)[:n]
     return (seg[:, 0:2], seg[:, 2:5], seg[:, 5:8], seg[:, 8],
             _int_cotangent(tile_flat), jnp.zeros_like(depth_tok))
 

@@ -28,12 +28,18 @@ from guassianhand_tpu.train.fit import FitConfig
 from guassianhand_tpu.train.losses import compute_error, identity_regularizers
 
 # batch key -> (shard points axis?) — axis 0 is always "data"
-_POINTS_AXIS = {"points": 1, "points_tar": 1, "vert_uv": 1, "inter_mask": 1}
+_POINTS_AXIS = {"points": 1, "points_tar": 1, "vert_uv": 1, "inter_mask": 1,
+                # fit-constant frozen prefix (train.fit.attach_static_features):
+                # the per-point embeddings shard like the points they index
+                "uv_n": 1, "uv_pe": 1, "xyz_pe": 1}
 
 
 def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
     out = {}
     for k, v in batch.items():
+        if isinstance(v, dict):  # e.g. batch["static_feats"]
+            out[k] = shard_batch(v, mesh)
+            continue
         spec = [None] * v.ndim
         spec[0] = "data"
         ax = _POINTS_AXIS.get(k)

@@ -45,6 +45,16 @@ class FitConfig:
     # the frozen weight-gradient matmuls from the backward entirely instead
     # of computing-then-zeroing them. Updates are bit-identical either way.
     freeze_base_gradients: bool = True
+    # Precompute the fit-constant frozen prefix of the feature pipeline
+    # (frame embeddings + the whole shade branch) ONCE per fit instead of
+    # per step. One-shot fitting re-fits a single constant frame
+    # (dataset_one_shot.py:435-439) and no per-identity learnable sits
+    # upstream of that prefix, so the cached step matches the recomputing
+    # one to fp32 reassociation noise
+    # (tests/test_model.py::test_static_feature_cache_exact)
+    # while skipping ~a third of the per-step forward FLOPs. TPU-first
+    # redesign: the torch reference recomputes it every step.
+    static_prefix_cache: bool = True
 
 
 def lr_schedule(cfg: FitConfig) -> optax.Schedule:
@@ -96,6 +106,21 @@ def make_optimizer(params, cfg: FitConfig) -> optax.GradientTransformation:
         # (infer_one_shot.py:636): updates apply every k-th micro-batch.
         tx = optax.MultiSteps(tx, cfg.accumulate_grad_batches)
     return tx
+
+
+def attach_static_features(model, params, batch: Dict) -> Dict:
+    """Return a copy of ``batch`` carrying the precomputed fit-constant
+    frozen prefix (``OneShotAvatarModel.static_features``) under
+    ``batch["static_feats"]``. Every model forward that sees the key skips
+    recomputing the frame embeddings and the shade branch; the prefix is
+    deterministic and upstream of every per-identity learnable, so results
+    match the recomputing path to fp32 reassociation noise. Valid for the
+    whole fit: only per-identity leaves train, so the frozen weights the
+    prefix depends on never change."""
+    fn = jax.jit(lambda p, b: model.apply(p, b, method="static_features"))
+    out = dict(batch)
+    out["static_feats"] = fn(params, batch)
+    return out
 
 
 def make_fit_step(model_apply: Callable, vgg_loss_fn: Optional[Callable],

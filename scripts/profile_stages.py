@@ -197,11 +197,24 @@ def model_profile():
     # salted per process (a fixed seed is still cacheable across re-runs).
     rng = np.random.RandomState((os.getpid() * 2246822519 + int(time.time()))
                                 % (2**31 - 1))
+    # GH_PROF_STATIC=1: fit-loop semantics — the fit-constant frozen prefix
+    # (frame embeddings + shade branch) is computed ONCE per fit, not per
+    # step (train/fit.py::attach_static_features); every stage below then
+    # measures the cached per-step cost a user sees during one-shot fitting.
+    static_on = os.environ.get("GH_PROF_STATIC", "0") == "1"
+    static_feats = None
+    if static_on:
+        from guassianhand_tpu.train.fit import attach_static_features
+        static_feats = attach_static_features(model, params,
+                                              batch)["static_feats"]
+        print("[t] static prefix cache: ON", flush=True)
     varied = []
     for _ in range(ITERS):
         b = dict(batch)
         b["points"] = batch["points"] + 1e-6 * jnp.asarray(
             rng.normal(size=batch["points"].shape).astype(np.float32))
+        if static_feats is not None:
+            b["static_feats"] = static_feats
         varied.append(b)
 
     # --- nested prefixes of the pipeline (each is a strict superset) ---

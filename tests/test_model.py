@@ -266,3 +266,59 @@ def test_freeze_base_gradients_equivalence(setup):
         np.testing.assert_array_equal(
             np.asarray(outs[True][1]["params"][name]),
             np.asarray(outs[False][1]["params"][name]), err_msg=name)
+
+
+def test_static_feature_cache_exact(setup):
+    """attach_static_features precomputes the fit-constant frozen prefix
+    (frame embeddings + the whole shade branch) once; every forward and fit
+    step that reuses it must match the recomputing path to fp32
+    reassociation noise (the prefix runs in its own XLA program, so fusion
+    boundaries differ; the math and inputs are identical) — it sits
+    upstream of every per-identity learnable
+    (models/one_shot.py::static_features)."""
+    from guassianhand_tpu.train.fit import attach_static_features
+
+    model, params, batch = setup
+    cached = attach_static_features(model, params, batch)
+    assert "static_feats" in cached
+    assert "tokens_shade" in cached["static_feats"]
+
+    out_plain = model.apply(params, batch, HW, HW)
+    out_cached = model.apply(params, cached, HW, HW)
+    np.testing.assert_allclose(np.asarray(out_plain["comp_rgb"]),
+                               np.asarray(out_cached["comp_rgb"]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_plain["comp_mask"]),
+                               np.asarray(out_cached["comp_mask"]),
+                               rtol=1e-5, atol=1e-6)
+
+    def model_apply(p, b):
+        return model.apply(p, b, HW, HW)
+
+    outs = {}
+    for use_cache in (False, True):
+        cfg = FitConfig(lr=0.003, weights=LossWeights(vgg=0.0))
+        optimizer = make_optimizer(params, cfg)
+        p = jax.tree.map(jnp.copy, params)
+        s = optimizer.init(p)
+        step = make_fit_step(model_apply, None, optimizer, cfg)
+        b = cached if use_cache else batch
+        for _ in range(2):
+            p, s, loss, _ = step(p, s, b)
+        outs[use_cache] = (float(loss), p)
+
+    # tolerances: the two arms compile DIFFERENT XLA programs (and, when the
+    # persistent compilation cache is enabled by an earlier test, may load
+    # differently-codegen'd AOT executables), so fp32 reassociation noise is
+    # the floor; two Adam steps amplify it further wherever sqrt(v_hat) is
+    # near zero. Params are compared NORMWISE — elementwise comparison of
+    # Adam trajectories is ill-conditioned at near-zero-gradient elements.
+    # A wrong cache (stale/missing branch) errs at O(1), orders above these.
+    np.testing.assert_allclose(outs[True][0], outs[False][0],
+                               rtol=1e-4, atol=1e-6)
+    for name in ("color_b", "color_w", "opacity_b", "map_bias",
+                 "identity_code_one_shot"):
+        a = np.asarray(outs[True][1]["params"][name])
+        b = np.asarray(outs[False][1]["params"][name])
+        rel = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-12)
+        assert rel < 1e-3, (name, rel)

@@ -47,7 +47,11 @@ def test_sharded_step_matches_unsharded():
 
     mesh = make_mesh(n_data=2)
     with mesh:
-        sbatch = shard_batch(batch, mesh)
+        # route through the static-prefix cache too: shard_batch must place
+        # the nested static_feats dict (per-point embeds shard like points)
+        from guassianhand_tpu.train.fit import attach_static_features
+        sbatch = shard_batch(attach_static_features(model, params, batch),
+                             mesh)
         step = make_sharded_fit_step(model_apply, optimizer, mesh,
                                      cfg=fit_cfg)
         p_sh, _, loss_sh, _ = step(params, opt_state, sbatch)

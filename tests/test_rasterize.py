@@ -444,3 +444,36 @@ def test_pack_rgb_quantization_bound_and_exact_color_grads():
     rel = (np.linalg.norm(np.asarray(go0 - go1))
            / max(np.linalg.norm(np.asarray(go0)), 1e-12))
     assert rel < 2e-3, rel  # perturbed only by the 1/1023 color quanta
+
+
+def test_grad_segsort_matches_scatter_reduction():
+    """RasterizeConfig.grad_segsort reduces per-pair gradients to
+    per-gaussian by sort-by-id + indices_are_sorted segment_sum instead of a
+    random-order scatter-add. The two paths compute the SAME per-gaussian
+    sums — only the fp32 summation order within each gaussian's pairs
+    differs (the scatter path's own combining order is unspecified too), so
+    gradients must agree to reassociation-level tolerance."""
+    cam = make_camera(96, 96)
+    g = make_gaussians(512, seed=7, scale_range=(0.01, 0.05))
+    tgt = jnp.asarray(np.random.RandomState(1).uniform(
+        0, 1, (96, 96, 3)).astype(np.float32))
+
+    def grads(cfg):
+        def loss(xyz, scaling, opacity):
+            gg = dataclasses.replace(g, xyz=xyz, scaling=scaling,
+                                     opacity=opacity)
+            out = rasterize(gg, cam, height=96, width=96, use_rgb=True,
+                            config=cfg)
+            return (jnp.abs(out["comp_rgb"] - tgt).mean()
+                    + (out["comp_mask"] ** 2).mean())
+
+        return jax.grad(loss, argnums=(0, 1, 2))(g.xyz, g.scaling, g.opacity)
+
+    g_scat = grads(RasterizeConfig(interpret=True, max_tiles_per_gaussian=8,
+                                   grad_segsort=False))
+    g_sort = grads(RasterizeConfig(interpret=True, max_tiles_per_gaussian=8,
+                                   grad_segsort=True))
+    for a, b, name in zip(g_scat, g_sort, ("xyz", "scaling", "opacity")):
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-12)
+        assert rel < 1e-5, (name, rel)
