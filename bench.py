@@ -191,8 +191,13 @@ def bench_fit_step(iters: int = 10):
     hw = 256
     raster = RasterizeConfig(max_tiles_per_gaussian=8)
     dt = os.environ.get("GH_BENCH_FIT_DTYPE", "bfloat16") or None
+    # narrow color_b (flagship default, configs/one_shot.yaml): bit-identical
+    # fit (tests/test_model.py::test_narrow_color_b_equivalence), 16x less
+    # Adam HBM traffic on the 1024x2048 residual map. GH_BENCH_FIT_NARROW=0
+    # benches the reference 48-channel layout.
+    narrow = os.environ.get("GH_BENCH_FIT_NARROW", "1") == "1"
     cfg = OneShotConfig(compute_dtype=None if dt in ("", "none", "fp32")
-                        else dt,
+                        else dt, narrow_color_b=narrow,
                         renderer=RendererConfig(raster=raster))
     scene = SyntheticHandScene.build(n_vertices=778, subdivide=2, height=hw,
                                      width=hw)
@@ -233,7 +238,8 @@ def bench_fit_step(iters: int = 10):
             "fit_steps_per_s": round(1e3 / ms, 2),
             "fit_workload": f"{hw}^2, n={scene.n_points}, vgg=0.1, "
                             f"dtype={cfg.compute_dtype or 'float32'}, "
-                            f"static_cache={int(static_cache)}"}
+                            f"static_cache={int(static_cache)}, "
+                            f"narrow_cb={int(narrow)}"}
 
 
 if __name__ == "__main__":

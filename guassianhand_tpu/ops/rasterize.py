@@ -75,7 +75,10 @@ class RasterizeConfig:
     # way (dL/dc is the pair weight, which doesn't depend on c). Unpacked
     # elementwise right after the sort; the kernels see the same 16-row
     # table. Requires colors in [0, 1] (use_rgb sigmoid output or clamped
-    # SH); values outside clip. Off by default pending the measured A/B.
+    # SH); values outside clip. A/B'd r4: +1.9% at ~9 sigma (ROADMAP.md),
+    # shipped ON in the flagship config and bench.py; the dataclass default
+    # stays False so the core op keeps exact color semantics for
+    # port-parity baselines.
     pack_rgb: bool = False
     # Reduce per-pair gradients to per-gaussian via sort-by-gaussian-id +
     # indices_are_sorted segment_sum instead of a random duplicate-index

@@ -41,6 +41,9 @@ def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
             out[k] = shard_batch(v, mesh)
             continue
         spec = [None] * v.ndim
+        if v.ndim == 0:   # scalars (e.g. static_feats fingerprint): replicate
+            out[k] = jax.device_put(v, NamedSharding(mesh, P()))
+            continue
         spec[0] = "data"
         ax = _POINTS_AXIS.get(k)
         if ax is not None and v.shape[ax] % mesh.shape["model"] == 0:
@@ -70,6 +73,13 @@ def make_sharded_fit_step(model_apply: Callable, optimizer,
         reg = identity_regularizers(
             {"color_b": flat["color_b"], "opacity_b": flat["opacity_b"],
              "map_bias": flat["map_bias"]}, cfg.weights)
+        if "exchange_pairs" in out:
+            # positive proof the explicit all_to_all exchange executed:
+            # per-device live pairs received (all-zero would mean the
+            # sharded path rendered nothing — surfaced, not swallowed)
+            err["exchange_pairs"] = out["exchange_pairs"]
+        if "overflow" in out:
+            err["overflow"] = out["overflow"].astype(jax.numpy.float32)
         return total + reg, err
 
     def step(params, opt_state, batch):

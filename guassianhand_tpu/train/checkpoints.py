@@ -81,6 +81,24 @@ def _adapt_transformer_layout(ck: Any, tmpl: Any) -> Any:
     return rec(ck, tmpl)
 
 
+def _adapt_color_b_layout(names: str, val, leaf):
+    """Reconcile color_b between the reference 48-channel layout and the
+    narrow consumed-rgb-triple layout (OneShotConfig.narrow_color_b).
+    The renderer only samples channels 0-2 (renderer_one_shot.py:330-334);
+    narrowing slices them, widening zero-fills the 45 structurally-untrained
+    channels — either direction round-trips the trained signal exactly."""
+    if not names.endswith("color_b") or getattr(val, "ndim", 0) != 3:
+        return None
+    import numpy as np
+    if val.shape[0] == 48 and leaf.shape == (3,) + val.shape[1:]:
+        return np.asarray(val)[:3]
+    if val.shape[0] == 3 and leaf.shape == (48,) + val.shape[1:]:
+        wide = np.zeros(leaf.shape, dtype=np.asarray(val).dtype)
+        wide[:3] = np.asarray(val)
+        return wide
+    return None
+
+
 def load_params_partial(path: str, params_template: Any,
                         ignore_prefixes: Sequence[str] = (),
                         verbose: bool = True) -> Any:
@@ -110,6 +128,8 @@ def load_params_partial(path: str, params_template: Any,
         if any(names.startswith(pref) for pref in ignore_prefixes):
             continue
         val = get_in(ck, path_t)
+        if val is not None and getattr(val, "shape", None) != leaf.shape:
+            val = _adapt_color_b_layout(names, val, leaf)
         if val is not None and getattr(val, "shape", None) == leaf.shape:
             replaced[names] = val
 

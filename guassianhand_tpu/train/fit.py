@@ -183,8 +183,28 @@ def make_fit_step(model_apply: Callable, vgg_loss_fn: Optional[Callable],
 def fit(model_apply: Callable, params, batch_fn: Callable[[int], Dict],
         vgg_loss_fn: Optional[Callable] = None,
         cfg: FitConfig = FitConfig(), log_every: int = 10,
-        log_fn: Callable[[str], None] = print):
-    """Run the fitting loop. batch_fn(step) -> batch dict (device arrays)."""
+        log_fn: Callable[[str], None] = print, model=None):
+    """Run the fitting loop. batch_fn(step) -> batch dict (device arrays).
+
+    When ``cfg.static_prefix_cache`` is set, pass ``model`` (the
+    ``OneShotAvatarModel`` instance) so the fit-constant frozen prefix is
+    computed once here via :func:`attach_static_features` — the same path
+    the CLIs take. Without ``model``, callers must pre-attach
+    ``static_feats`` to every batch themselves; a batch arriving without
+    the key falls back (correctly but slower) to full recompute.
+    """
+    if cfg.static_prefix_cache and model is not None:
+        first = batch_fn(0)
+        if "static_feats" not in first:
+            static = attach_static_features(model, params,
+                                            first)["static_feats"]
+            inner_fn = batch_fn
+
+            def batch_fn(i, _inner=inner_fn, _static=static):
+                b = dict(_inner(i))
+                b.setdefault("static_feats", _static)
+                return b
+
     optimizer = make_optimizer(params, cfg)
     opt_state = optimizer.init(params)
     step_fn = make_fit_step(model_apply, vgg_loss_fn, optimizer, cfg)

@@ -92,7 +92,24 @@ def identity_regularizers(params: Dict[str, jax.Array],
 
     params must contain color_b, opacity_b, map_bias arrays.
     """
-    reg = (weights.color_b_reg * jnp.abs(params["color_b"]).mean()
+    cb = params["color_b"]
+    # Torch-matching |.| subgradient: jax.grad(abs) is 1 at exactly 0 while
+    # torch.abs backward gives 0 there (sgn(0)=0) — with jnp.abs the 45
+    # never-rendered color_b channels (all-zero at init) would oscillate
+    # +-lr around 0 under this reg every step instead of staying put like
+    # the reference's (infer_one_shot.py:514-519). x*sign(x) has the exact
+    # |x| value with d/dx = sign(x) (sign's own grad is 0), matching torch.
+    cb_abs = cb * jnp.sign(cb)
+    # The reference averages over all 48 channels; the narrow layout
+    # (OneShotConfig.narrow_color_b, identified by its 3-channel leading
+    # dim) stores only the consumed rgb triple (the other 45 contribute
+    # exactly nothing to the sum at their pinned 0) — divide by the full
+    # 48-channel element count so value and gradient scale match the
+    # reference layout. Any other shape keeps plain mean semantics.
+    denom = (48.0 * cb.shape[-2] * cb.shape[-1]
+             if cb.ndim == 3 and cb.shape[0] == 3 else cb.size)
+    cb_mean = cb_abs.sum() / denom
+    reg = (weights.color_b_reg * cb_mean
            + weights.opacity_b_reg * (params["opacity_b"] ** 2).mean()
            + weights.map_bias_reg * (params["map_bias"] ** 2).mean())
     return reg

@@ -143,6 +143,11 @@ def summarize(logdir: str, out_md: str, meta: str, n_steps: int = 3,
     print(f"wrote {out_md} ({len(agg)} distinct ops)")
 
 
+def _pack_rgb_default() -> bool:
+    """One shared source of truth with bench.py: pack_rgb defaults ON."""
+    return os.environ.get("GH_PACK_RGB", "1") == "1"
+
+
 def build_bench_step():
     """The exact bench.py fwd+bwd rasterizer step (512^2, 49k, M=9)."""
     from guassianhand_tpu.core.gaussians import Gaussians
@@ -166,8 +171,11 @@ def build_bench_step():
     w2c = np.eye(4, dtype=np.float32)
     w2c[2, 3] = 1.8
     cam = Camera.from_w2c(w2c, K, hw, hw)
+    # default pack_rgb matches bench.py's shipped default (ON since the r4
+    # +1.9% A/B) so a default trace decomposes the same config as the
+    # headline number; GH_PACK_RGB=0 traces the exact-color variant.
     cfg = RasterizeConfig(max_tiles_per_gaussian=9, pairs_per_gaussian=3.0,
-                          pack_rgb=os.environ.get("GH_PACK_RGB", "0") == "1")
+                          pack_rgb=_pack_rgb_default())
     tgt = jnp.asarray(rng.uniform(0, 1, (hw, hw, 3)).astype(np.float32))
 
     def loss_fn(xyz, scaling, rotation, opacity, shs):
@@ -210,7 +218,7 @@ def main():
             jax.block_until_ready(g)
         dt = (time.perf_counter() - t0) / args.steps * 1e3
         meta = (f"Workload: bench.py 512^2 / 49,152 Gaussians fwd+bwd, M=9, "
-                f"pack_rgb={os.environ.get('GH_PACK_RGB', '0')}; "
+                f"pack_rgb={int(_pack_rgb_default())}; "
                 f"{dt:.2f} ms/step during capture.")
         summarize(args.logdir, out_md, meta, args.steps, real_ms=real_ms)
         return

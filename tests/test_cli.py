@@ -170,3 +170,26 @@ def test_port_and_eval_dry_run_ready(tmp_path, capsys):
     assert rc == 0, out
     assert "ready to execute" in out
     assert "source keys" in out  # the key-mapping proof actually ran
+
+
+@pytest.mark.slow
+def test_run_val_protocol_smoke(tmp_path):
+    """Eval-protocol smoke (VERDICT r4 item 6): --run_val over a multi-frame
+    synthetic split must run the full protocol (per-frame pose variation,
+    bbox-crop SSIM via mask_at_box, throughput/memory stamps) and write the
+    mean-metric YAML like the reference test_epoch_end
+    (infer_one_shot.py:391-402, evaluator.py:85-118)."""
+    import yaml
+    from guassianhand_tpu.cli import fit_one_shot
+
+    rc = fit_one_shot.main(
+        ["--synthetic", "--run_val", "--val_frames", "3", "--no_images",
+         f"out_dir={tmp_path}", "expname=valsmoke"] + TINY_OVERRIDES)
+    assert rc == 0
+    out = yaml.safe_load((tmp_path / "valsmoke" / "test_metrics.yml")
+                         .read_text())
+    assert out["eval_frames"] == 3
+    assert np.isfinite(out["psnr"])
+    assert np.isfinite(out["ssim"])  # computed on the bbox crop
+    assert out["eval_wall_s"] > 0
+    assert "weights_provenance" in out

@@ -322,3 +322,83 @@ def test_static_feature_cache_exact(setup):
         b = np.asarray(outs[False][1]["params"][name])
         rel = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-12)
         assert rel < 1e-3, (name, rel)
+
+
+def test_narrow_color_b_equivalence(setup):
+    """OneShotConfig.narrow_color_b (VERDICT r4 weak #5): storing only the
+    consumed rgb triple of color_b must leave the fit unchanged to fp
+    reduction-order noise — losses, renders, and the updated consumed
+    channels all match the 48-channel reference layout (whose other 45
+    channels are structurally zero-gradient), while Adam stops hauling 16x
+    the HBM. (The regularizer sum reduces over 3HW vs 48HW elements, so the
+    reduction TREE differs; exact zeros contribute nothing, but pairing can
+    round differently by ~1 ulp — hence allclose, not array_equal.)"""
+    import dataclasses as _dc
+    model, params, batch = setup
+
+    cfg_n = _dc.replace(TINY, narrow_color_b=True)
+    model_n = OneShotAvatarModel(cfg=cfg_n)
+    p_n = jax.tree.map(jnp.copy, params)
+    p_n["params"] = dict(p_n["params"])
+    assert params["params"]["color_b"].shape[0] == 48
+    p_n["params"]["color_b"] = params["params"]["color_b"][:3]
+
+    outs = {}
+    for name, m, p0 in (("wide", model, params), ("narrow", model_n, p_n)):
+        def model_apply(pp, bb, _m=m):
+            return _m.apply(pp, bb, HW, HW)
+
+        cfg = FitConfig(lr=0.003, weights=LossWeights(vgg=0.0))
+        optimizer = make_optimizer(p0, cfg)
+        p = jax.tree.map(jnp.copy, p0)
+        s = optimizer.init(p)
+        step = make_fit_step(model_apply, None, optimizer, cfg)
+        for _ in range(2):
+            p, s, loss, _ = step(p, s, batch)
+        out = m.apply(p, batch, HW, HW)
+        outs[name] = (float(loss), p, np.asarray(out["comp_rgb"]))
+
+    np.testing.assert_allclose(outs["wide"][0], outs["narrow"][0], rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(outs["wide"][1]["params"]["color_b"][:3]),
+        np.asarray(outs["narrow"][1]["params"]["color_b"]), atol=1e-7)
+    # untouched channels of the wide layout never moved
+    np.testing.assert_array_equal(
+        np.asarray(outs["wide"][1]["params"]["color_b"][3:]), 0.0)
+    np.testing.assert_allclose(outs["wide"][2], outs["narrow"][2], atol=1e-5)
+
+
+def test_narrow_color_b_checkpoint_adapter(setup, tmp_path):
+    """Checkpoint-layout parity for narrow_color_b: a 48-channel checkpoint
+    loads into a narrow template (slice) and a narrow checkpoint loads into
+    a wide template (zero-fill the 45 structurally-untrained channels) —
+    the trained rgb triple round-trips exactly."""
+    from guassianhand_tpu.train import checkpoints as ckpt_lib
+    model, params, batch = setup
+
+    wide = jax.tree.map(jnp.copy, params)
+    wide["params"] = dict(wide["params"])
+    rng = np.random.RandomState(3)
+    wide["params"]["color_b"] = jnp.asarray(
+        rng.normal(size=wide["params"]["color_b"].shape), jnp.float32)
+    path = str(tmp_path / "wide.ckpt")
+    ckpt_lib.save_checkpoint(path, wide, None, 0)
+
+    narrow_t = jax.tree.map(jnp.copy, params)
+    narrow_t["params"] = dict(narrow_t["params"])
+    narrow_t["params"]["color_b"] = jnp.zeros_like(
+        narrow_t["params"]["color_b"][:3])
+    restored = ckpt_lib.load_params_partial(path, narrow_t)
+    np.testing.assert_array_equal(
+        np.asarray(restored["params"]["color_b"]),
+        np.asarray(wide["params"]["color_b"][:3]))
+
+    # and back: narrow checkpoint -> wide template
+    path2 = str(tmp_path / "narrow.ckpt")
+    ckpt_lib.save_checkpoint(path2, restored, None, 0)
+    back = ckpt_lib.load_params_partial(path2, wide)
+    np.testing.assert_array_equal(
+        np.asarray(back["params"]["color_b"][:3]),
+        np.asarray(wide["params"]["color_b"][:3]))
+    np.testing.assert_array_equal(np.asarray(back["params"]["color_b"][3:]),
+                                  0.0)
