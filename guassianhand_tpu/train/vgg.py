@@ -104,10 +104,14 @@ class VGGLoss:
         outs = []
         for i, ((w, b), (_, _, pool)) in enumerate(zip(self.params, _CONV_PLAN)):
             if pool:
+                # init value must be the LITERAL -inf scalar (weakly typed,
+                # casts to bf16 fine) for JAX to recognize the max-pool and
+                # emit its VJP — a finite finfo.min OR a traced
+                # jnp.asarray(-inf) constant both fail reverse-mode with
+                # "Linearization failed" (measured on the r5 TPU runs)
                 h = jax.lax.reduce_window(
-                    h, -jnp.inf if h.dtype == jnp.float32
-                    else jnp.finfo(h.dtype).min,
-                    jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+                    h, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1),
+                    "VALID")
             if self.compute_dtype is not None:
                 w = w.astype(self.compute_dtype)
                 b = b.astype(self.compute_dtype)

@@ -1,0 +1,105 @@
+"""A/B the round-5 fit-step knobs end-to-end on the real chip, ONE process.
+
+All arms run the SHIPPED flagship semantics (bf16 feature pipeline,
+narrow_color_b, static prefix cache, vgg=0.1) and differ in exactly one
+knob; losses must agree (to documented reassociation noise) and overflow
+must stay 0 or the arm is invalid.
+
+  base           GH_GRIDSAMPLE_SEGSORT=0 (autodiff scatter-add backward)
+  gs_segsort     sorted segment-sum grid-sample backward (ops/grid_sample)
+  + raster.budget  tighter fit-scene enumeration/slab budgets (overflow-
+                   guarded: the err dict's overflow must be 0)
+  + attn_chunk     interaction-attention chunk re-sweep under bf16
+
+Usage: python scripts/ab_fit_knobs.py [--iters 10]
+"""
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+
+
+def build(raster_kw, cfg_kw):
+    from guassianhand_tpu.data.synthetic import (SyntheticHandScene,
+                                                 synthetic_batch)
+    from guassianhand_tpu.models.one_shot import (OneShotAvatarModel,
+                                                  OneShotConfig)
+    from guassianhand_tpu.ops.rasterize import RasterizeConfig
+    from guassianhand_tpu.render.renderer import RendererConfig
+
+    hw = 256
+    raster = RasterizeConfig(max_tiles_per_gaussian=8, **raster_kw)
+    cfg = OneShotConfig(compute_dtype="bfloat16", narrow_color_b=True,
+                        renderer=RendererConfig(raster=raster), **cfg_kw)
+    scene = SyntheticHandScene.build(n_vertices=778, subdivide=2, height=hw,
+                                     width=hw)
+    batch = synthetic_batch(scene, seed=0, raster=raster)
+    model = OneShotAvatarModel(cfg=cfg)
+    params = jax.jit(model.init, static_argnums=(2, 3))(
+        jax.random.PRNGKey(0), batch, hw, hw)
+    return model, params, batch, hw
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    from guassianhand_tpu.utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache()
+    from guassianhand_tpu.train.fit import (FitConfig, attach_static_features,
+                                            make_fit_step, make_optimizer)
+    from guassianhand_tpu.train.losses import LossWeights
+    from guassianhand_tpu.train.vgg import VGGLoss
+
+    fit_cfg = FitConfig(weights=LossWeights(vgg=0.1))
+    vgg_fn = VGGLoss()
+    rng = np.random.RandomState((os.getpid() * 2246822519 + int(time.time()))
+                                % (2**31 - 1))
+
+    arms = [
+        ("base (scatter bwd)", "0", {}, {}),
+        ("gs_segsort", "1", {}, {}),
+        ("gs_segsort M6 b3.5", "1",
+         {"max_tiles_per_gaussian": 6, "pairs_per_gaussian": 3.5}, {}),
+        ("gs_segsort b3.0", "1", {"pairs_per_gaussian": 3.0}, {}),
+        ("gs_segsort attn512", "1", {}, {"attn_chunk": 512}),
+        ("gs_segsort attn2048", "1", {}, {"attn_chunk": 2048}),
+    ]
+
+    print(f"[t] backend={jax.devices()[0].platform} iters={args.iters}",
+          flush=True)
+    for name, seg, raster_kw, cfg_kw in arms:
+        os.environ["GH_GRIDSAMPLE_SEGSORT"] = seg
+        model, params, batch, hw = build(raster_kw, cfg_kw)
+        batch = attach_static_features(model, params, batch)
+        optimizer = make_optimizer(params, fit_cfg)
+        opt_state = optimizer.init(params)
+        step_fn = make_fit_step(lambda p, b: model.apply(p, b, hw, hw),
+                                vgg_fn, optimizer, fit_cfg)
+        varied = []
+        for _ in range(args.iters):
+            b = dict(batch)
+            b["points"] = batch["points"] + 1e-6 * jnp.asarray(
+                rng.normal(size=batch["points"].shape).astype(np.float32))
+            varied.append(b)
+        params, opt_state, loss, err = step_fn(params, opt_state, varied[0])
+        jax.block_until_ready(loss)
+        t0 = time.perf_counter()
+        for b in varied:
+            params, opt_state, loss, err = step_fn(params, opt_state, b)
+        jax.block_until_ready(loss)
+        dt = (time.perf_counter() - t0) / args.iters * 1e3
+        ov = int(err.get("overflow", jnp.zeros(()))) if err else 0
+        print(f"[t] {name:22s} {dt:7.2f} ms  loss {float(loss):.5f} "
+              f"overflow {ov}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
