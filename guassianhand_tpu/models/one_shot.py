@@ -93,6 +93,13 @@ class OneShotConfig:
     # identical math, several-fold faster XLA compile of the full model
     # (params under backbone/blocks, stacked; see
     # compat.torch_port.stack_transformer_blocks for ported weights)
+    backbone_softmax_fp32: bool = True  # force the backbones' (2048, 2048)
+    # attention softmax to fp32 under bf16 compute (parity default). The
+    # fp32 probability tensors are the fit-step backward's largest HBM
+    # stream; False runs them bf16 (quality-gated; nn/transformer.py).
+    backbone_attn_remat: bool = False   # rematerialize the backbone
+    # attention cores in the backward instead of saving the probability
+    # tensors (flash-style HBM/FLOP trade via jax.checkpoint).
     narrow_color_b: bool = False      # store color_b as the CONSUMED rgb
     # triple (3, Hm, Wm) instead of the reference's 48-channel layout
     # (infer_one_shot.py:159-163). The renderer only ever samples channels
@@ -134,10 +141,14 @@ class OneShotAvatarModel(nn.Module):
             n_plane=c.n_plane)
         self.backbone = Transformer1D(
             num_layers=c.backbone_layers, heads=c.backbone_heads,
-            head_dim=c.backbone_head_dim, scan=c.backbone_scan, dtype=dt)
+            head_dim=c.backbone_head_dim, scan=c.backbone_scan, dtype=dt,
+            softmax_fp32=c.backbone_softmax_fp32,
+            attn_remat=c.backbone_attn_remat)
         self.backbone_shade = Transformer1D(
             num_layers=c.backbone_layers, heads=c.backbone_heads,
-            head_dim=c.backbone_head_dim, scan=c.backbone_scan, dtype=dt)
+            head_dim=c.backbone_head_dim, scan=c.backbone_scan, dtype=dt,
+            softmax_fp32=c.backbone_softmax_fp32,
+            attn_remat=c.backbone_attn_remat)
         self.post_processor_texture = TriplaneUpsampler(
             out_channels=c.scene_code_channels, dtype=dt)
         self.additional_features_fc = AdditionalFeaturesFC(

@@ -61,6 +61,17 @@ class Attention(nn.Module):
     heads: int
     head_dim: int
     dtype: Optional[Any] = None
+    softmax_fp32: bool = True   # force the (N, N) softmax to fp32 under a
+    # bf16 compute dtype. Parity default. The fp32 probability tensor is
+    # (B, H, 2048, 2048) = 134 MB at the backbone shape and the autodiff
+    # backward's softmax chain streams several copies of it from HBM —
+    # softmax_fp32=False halves that traffic (quality-gated like the rest
+    # of the bf16 pipeline; see scripts/bench_backbone.py arms).
+    attn_remat: bool = False    # jax.checkpoint around ONLY the attention
+    # core (scores+softmax+AV): the backward rematerializes the probability
+    # tensor instead of loading the saved copy — flash-attention-style
+    # HBM/FLOP trade without a custom kernel. (Distinct from Transformer1D.
+    # remat, which rematerializes WHOLE blocks and measured slower in r4.)
 
     @nn.compact
     def __call__(self, x, context=None):
@@ -73,12 +84,17 @@ class Attention(nn.Module):
         def split(t):
             return t.reshape(*t.shape[:-1], self.heads, self.head_dim)
 
-        if self.dtype is None:
-            o = nn.dot_product_attention(split(q), split(k), split(v))
-        else:
-            o = nn.dot_product_attention(split(q), split(k), split(v),
-                                         dtype=self.dtype,
-                                         force_fp32_for_softmax=True)
+        def core(q, k, v):
+            if self.dtype is None:
+                return nn.dot_product_attention(q, k, v)
+            return nn.dot_product_attention(
+                q, k, v, dtype=self.dtype,
+                force_fp32_for_softmax=self.softmax_fp32)
+
+        if self.attn_remat:
+            import jax
+            core = jax.checkpoint(core)
+        o = core(split(q), split(k), split(v))
         o = o.reshape(*x.shape[:-1], inner)
         return nn.Dense(inner, dtype=self.dtype)(o)
 
@@ -100,6 +116,8 @@ class TransformerBlock(nn.Module):
     head_dim: int
     modulation_dim: Optional[int] = None
     dtype: Optional[Any] = None
+    softmax_fp32: bool = True
+    attn_remat: bool = False
 
     def _norm(self, x, cond, name):
         if self.modulation_dim is not None and cond is not None:
@@ -109,9 +127,13 @@ class TransformerBlock(nn.Module):
     def _body(self, x, cond, context):
         h = self._norm(x, cond, "norm1")
         x = x + Attention(self.heads, self.head_dim, dtype=self.dtype,
+                          softmax_fp32=self.softmax_fp32,
+                          attn_remat=self.attn_remat,
                           name="attn1")(h)
         h = self._norm(x, cond, "norm2")
         x = x + Attention(self.heads, self.head_dim, dtype=self.dtype,
+                          softmax_fp32=self.softmax_fp32,
+                          attn_remat=self.attn_remat,
                           name="attn2")(h, context)
         h = self._norm(x, cond, "norm3")
         x = x + FeedForward(name="ff", dtype=self.dtype)(h)
@@ -148,6 +170,8 @@ class Transformer1D(nn.Module):
     # stacked leading axis; compat.torch_port.stack_transformer_blocks
     # converts an unrolled block_{i} tree (and ported reference weights) to
     # this layout. Identical math per layer.
+    softmax_fp32: bool = True  # see Attention.softmax_fp32 (bf16-path knob)
+    attn_remat: bool = False   # see Attention.attn_remat
 
     @nn.compact
     def __call__(self, tokens, modulation_cond=None, context=None):
@@ -170,7 +194,8 @@ class Transformer1D(nn.Module):
                 length=self.num_layers,
                 in_axes=(nn.broadcast,),
             )(self.heads, self.head_dim, self.modulation_dim,
-              dtype=self.dtype, name="blocks")
+              dtype=self.dtype, softmax_fp32=self.softmax_fp32,
+              attn_remat=self.attn_remat, name="blocks")
             h, _ = blocks(h, (modulation_cond, context))
         else:
             block_cls = (nn.remat(TransformerBlock, static_argnums=())
@@ -178,7 +203,8 @@ class Transformer1D(nn.Module):
             for i in range(self.num_layers):
                 h = block_cls(
                     self.heads, self.head_dim, self.modulation_dim,
-                    dtype=self.dtype,
+                    dtype=self.dtype, softmax_fp32=self.softmax_fp32,
+                    attn_remat=self.attn_remat,
                     name=f"block_{i}")(h, cond=modulation_cond,
                                        context=context)
         h = nn.Dense(c, dtype=self.dtype)(h)

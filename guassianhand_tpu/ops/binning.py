@@ -37,6 +37,15 @@ class BinningConfig:
     max_tiles_per_gaussian: int = 16
     max_blocks_per_tile: int = 64   # caps per-tile pairs at block_size * this
     pairs_per_gaussian: float = 4.5  # slab capacity budget (average per gaussian)
+    # Compact-walk enumeration (r5): walk this many rect cells (static; must
+    # cover the scene's max 3-sigma rect), apply the opacity cull per CELL,
+    # and compact the surviving cells into the max_tiles_per_gaussian slots
+    # (stable per-row sort — walk order preserved, outputs bit-identical).
+    # M then bounds the LIVE tile need (measured 4-6 on the hand scenes)
+    # instead of the rect need (9+), shrinking the big (tile, depth) sort
+    # rows by N*(M_rect - M_live), and overflow becomes an EXACT live-cell
+    # count instead of a conservative rect overcount. 0 = legacy walk-M.
+    walk_cells: int = 0
 
 
 @jax.tree_util.register_dataclass
@@ -117,20 +126,47 @@ def enumerate_tiles(
 
     # Rect enumeration without integer div/mod (slow on the VPU): unrolled
     # row-major counters over the (rw, rh) rect.
-    need_cap = jnp.minimum(need, m)
+    r_cells = cfg.walk_cells if cfg.walk_cells > m else m
     txs, tys = [], []
     cx = jnp.zeros_like(x0)
     cy = jnp.zeros_like(y0)
-    for _ in range(m):
+    for _ in range(r_cells):
         txs.append(x0 + cx)
         tys.append(y0 + cy)
         wrap = cx + 1 >= rw_safe
         cx = jnp.where(wrap, 0, cx + 1)
         cy = jnp.where(wrap, cy + 1, cy)
-    tx = jnp.stack(txs, axis=1)  # (N, M)
+    tx = jnp.stack(txs, axis=1)  # (N, R)
     ty = jnp.stack(tys, axis=1)
-    mm = jnp.arange(m, dtype=jnp.int32)
-    valid = mm[None, :] < need_cap[:, None]
+    rr = jnp.arange(r_cells, dtype=jnp.int32)
+
+    if cfg.walk_cells > m:
+        # Compact-walk: cull every WALKED cell, then pack the survivors into
+        # the m slots with a stable per-row sort (live cells first, walk
+        # order preserved — the (tile, depth) sort sees the identical live
+        # pair set in the identical relative order, so outputs/grads are
+        # bit-identical; only the slot bookkeeping changes).
+        in_rect = rr[None, :] < need[:, None]              # (N, R), uncapped
+        live = in_rect
+        if opacity is not None:
+            live = live & opacity_cull_keep(
+                mean2d[:, 0:1], mean2d[:, 1:2], radius[:, None],
+                opacity[:, None], tx, ty, cfg.tile_size)   # (N, R)
+        tile_cell = jnp.where(live, ty * ntx + tx, num_tiles
+                              ).astype(jnp.int32)
+        key = (~live).astype(jnp.int32)
+        _, tile_sorted = jax.lax.sort((key, tile_cell), dimension=1,
+                                      num_keys=1, is_stable=True)
+        tile_id = tile_sorted[:, :m]
+        live_count = jnp.sum(live.astype(jnp.int32), axis=1)
+        # EXACT accounting: live cells beyond the m slots, plus (conservative)
+        # rect cells the static walk never reached.
+        overflow_enum = (jnp.sum(jnp.maximum(live_count - m, 0))
+                         + jnp.sum(jnp.maximum(need - r_cells, 0)))
+        return tile_id.reshape(-1), overflow_enum
+
+    need_cap = jnp.minimum(need, m)
+    valid = rr[None, :] < need_cap[:, None]
     if opacity is not None:
         valid = valid & opacity_cull_keep(
             mean2d[:, 0:1], mean2d[:, 1:2], radius[:, None], opacity[:, None],
@@ -141,7 +177,8 @@ def enumerate_tiles(
     # an UPPER bound on lost work when opacity culling is active (a tile
     # counted here might have been culled anyway). Conservative direction:
     # the bench's overflow==0 honesty gate can only fail early, never pass
-    # while silently dropping work.
+    # while silently dropping work. (The compact-walk mode above replaces
+    # this with exact live accounting.)
     overflow_enum = jnp.sum(jnp.maximum(need - m, 0))
     return tile_id.reshape(-1), overflow_enum
 

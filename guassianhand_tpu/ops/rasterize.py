@@ -90,6 +90,11 @@ class RasterizeConfig:
     # combining order — so this defaults ON; gradient oracle-parity tests
     # run green either way (GH_BWD_SEGSORT=0/1 overrides for A/B).
     grad_segsort: bool = True
+    # Compact-walk enumeration (BinningConfig.walk_cells): walk this many
+    # rect cells applying the opacity cull per cell, pack survivors into the
+    # max_tiles_per_gaussian slots — M then bounds LIVE need, not rect need.
+    # 0 = legacy. Outputs/grads bit-identical (tests/test_rasterize.py).
+    walk_cells: int = 0
     scale_modifier: float = 1.0
     znear: float = 0.01
     zfar: float = 1000.0
@@ -102,6 +107,7 @@ class RasterizeConfig:
             max_tiles_per_gaussian=self.max_tiles_per_gaussian,
             max_blocks_per_tile=self.max_blocks_per_tile,
             pairs_per_gaussian=self.pairs_per_gaussian,
+            walk_cells=self.walk_cells,
         )
 
 

@@ -34,7 +34,7 @@ def build(raster_kw, cfg_kw):
     from guassianhand_tpu.render.renderer import RendererConfig
 
     hw = 256
-    raster = RasterizeConfig(max_tiles_per_gaussian=8, **raster_kw)
+    raster = RasterizeConfig(**{"max_tiles_per_gaussian": 8, **raster_kw})
     cfg = OneShotConfig(compute_dtype="bfloat16", narrow_color_b=True,
                         renderer=RendererConfig(raster=raster), **cfg_kw)
     scene = SyntheticHandScene.build(n_vertices=778, subdivide=2, height=hw,
@@ -63,14 +63,25 @@ def main():
     rng = np.random.RandomState((os.getpid() * 2246822519 + int(time.time()))
                                 % (2**31 - 1))
 
+    # Fit-scene need analysis (compact-walk enumeration, CPU, init params):
+    # live max 4, 61,447 live pairs = 2.0/gaussian. walk_cells=25 culls
+    # every rect cell, so M bounds LIVE need: M5/b2.75 halves the sort rows
+    # AND the slab budget vs legacy M8/b4.5 with 25%/37% headroom; M4/b2.5
+    # is the measured-tight floor. Legacy M9 (overflow-0 without the walk)
+    # measured 86.37 ms (+5.9) and is out. Backbone arms probe the two
+    # attention-backward HBM knobs (nn/transformer.py).
     arms = [
-        ("base (scatter bwd)", "0", {}, {}),
-        ("gs_segsort", "1", {}, {}),
-        ("gs_segsort M6 b3.5", "1",
-         {"max_tiles_per_gaussian": 6, "pairs_per_gaussian": 3.5}, {}),
-        ("gs_segsort b3.0", "1", {"pairs_per_gaussian": 3.0}, {}),
-        ("gs_segsort attn512", "1", {}, {"attn_chunk": 512}),
-        ("gs_segsort attn2048", "1", {}, {"attn_chunk": 2048}),
+        ("base M8 b4.5", "0", {}, {}),
+        ("walk25 M5 b2.75 pk", "0",
+         {"max_tiles_per_gaussian": 5, "pairs_per_gaussian": 2.75,
+          "walk_cells": 25, "pack_rgb": True}, {}),
+        ("walk25 M4 b2.5 pk", "0",
+         {"max_tiles_per_gaussian": 4, "pairs_per_gaussian": 2.5,
+          "walk_cells": 25, "pack_rgb": True}, {}),
+        ("sm_bf16", "0", {}, {"backbone_softmax_fp32": False}),
+        ("attn_remat", "0", {}, {"backbone_attn_remat": True}),
+        ("sm_bf16+remat", "0", {}, {"backbone_softmax_fp32": False,
+                                    "backbone_attn_remat": True}),
     ]
 
     print(f"[t] backend={jax.devices()[0].platform} iters={args.iters}",

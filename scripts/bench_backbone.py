@@ -48,6 +48,12 @@ def main():
         yield "remat bf16", dict(dtype=jnp.bfloat16, remat=True)
         yield "scan bf16", dict(dtype=jnp.bfloat16, scan=True)
         yield "fp32", dict()
+        # r5 arms against the backward's 134 MB fp32 (2048, 2048)
+        # probability tensors (docs/TRACE_FIT_STEP.md tail cost #1):
+        yield "bf16 sm_bf16", dict(dtype=jnp.bfloat16, softmax_fp32=False)
+        yield "bf16 attn_remat", dict(dtype=jnp.bfloat16, attn_remat=True)
+        yield "bf16 sm_bf16+remat", dict(dtype=jnp.bfloat16,
+                                         softmax_fp32=False, attn_remat=True)
 
     for name, kw in arms():
         model = Transformer1D(num_layers=10, heads=8, head_dim=64, **kw)

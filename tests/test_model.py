@@ -402,3 +402,29 @@ def test_narrow_color_b_checkpoint_adapter(setup, tmp_path):
         np.asarray(wide["params"]["color_b"][:3]))
     np.testing.assert_array_equal(np.asarray(back["params"]["color_b"][3:]),
                                   0.0)
+
+
+def test_backbone_attn_knobs_parity():
+    """r5 backward-HBM knobs: attn_remat must be BIT-identical in fp32
+    (jax.checkpoint changes schedule, not math) and value-preserving under
+    bf16; softmax_fp32=False must stay within bf16-class tolerance."""
+    from guassianhand_tpu.nn.transformer import Transformer1D
+
+    x = jnp.asarray(
+        np.random.RandomState(0).normal(size=(1, 40, 48)), jnp.float32)
+    base = Transformer1D(num_layers=2, heads=2, head_dim=16, norm_groups=8)
+    p = base.init(jax.random.PRNGKey(0), x)
+    ref = base.apply(p, x)
+
+    remat = Transformer1D(num_layers=2, heads=2, head_dim=16, norm_groups=8,
+                          attn_remat=True)
+    np.testing.assert_array_equal(np.asarray(remat.apply(p, x)),
+                                  np.asarray(ref))
+    g = jax.grad(lambda xx: jnp.sum(remat.apply(p, xx)))(x)
+    g0 = jax.grad(lambda xx: jnp.sum(base.apply(p, xx)))(x)
+    np.testing.assert_array_equal(np.asarray(g), np.asarray(g0))
+
+    smbf16 = Transformer1D(num_layers=2, heads=2, head_dim=16, norm_groups=8,
+                           dtype=jnp.bfloat16, softmax_fp32=False)
+    out = np.asarray(smbf16.apply(p, x), np.float32)
+    assert np.abs(out - np.asarray(ref)).max() < 0.1  # bf16-class delta

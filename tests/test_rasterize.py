@@ -477,3 +477,83 @@ def test_grad_segsort_matches_scatter_reduction():
         a, b = np.asarray(a), np.asarray(b)
         rel = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-12)
         assert rel < 1e-5, (name, rel)
+
+
+def test_compact_walk_enumeration_bit_identical():
+    """BinningConfig.walk_cells (r5): culling every walked rect cell and
+    compacting survivors into the M slots must produce BIT-identICAL images
+    and gradients to the legacy walk at generous M, while allowing a tighter
+    M (bounded by live need, not rect need) with overflow still 0."""
+    import dataclasses
+
+    from guassianhand_tpu.ops.rasterize import RasterizeConfig, rasterize
+    from tests.utils import make_camera, make_gaussians
+
+    hw = 96
+    cam = make_camera(hw, hw)
+    g = make_gaussians(512, seed=11, scale_range=(0.004, 0.05))
+    base_cfg = RasterizeConfig(interpret=True, max_tiles_per_gaussian=16)
+
+    tgt = jnp.asarray(np.random.RandomState(3).uniform(0, 1, (hw, hw, 3)),
+                      jnp.float32)
+
+    def run(cfg):
+        def loss(xyz, shs, opacity):
+            gg = g.__class__(xyz=xyz, opacity=opacity, rotation=g.rotation,
+                             scaling=g.scaling, shs=shs)
+            out = rasterize(gg, cam, height=hw, width=hw, use_rgb=True,
+                            config=cfg)
+            return (jnp.abs(out["comp_rgb"] - tgt).mean()
+                    + (out["comp_mask"] ** 2).mean()), out
+        (l, out), grads = jax.value_and_grad(loss, argnums=(0, 1, 2),
+                                             has_aux=True)(
+            g.xyz, g.shs, g.opacity)
+        return l, out, grads
+
+    l0, out0, g0 = run(base_cfg)
+    assert int(out0["overflow"]) == 0
+
+    # same M, compact walk: identical live set -> bit-identical everything
+    cfg_cw = dataclasses.replace(base_cfg, walk_cells=25)
+    l1, out1, g1 = run(cfg_cw)
+    assert int(out1["overflow"]) == 0
+    np.testing.assert_array_equal(np.asarray(out1["comp_rgb"]),
+                                  np.asarray(out0["comp_rgb"]))
+    np.testing.assert_array_equal(float(l1), float(l0))
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g0)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # tighter M bounded by LIVE need: still overflow 0, still identical
+    live_max = 0
+    from guassianhand_tpu.ops import binning as binning_lib
+    from guassianhand_tpu.ops.projection import project_gaussians
+    proj = project_gaussians(g.xyz, g.scaling, g.rotation, cam)
+    tile_flat, ov = binning_lib.enumerate_tiles(
+        proj.mean2d, proj.radius, proj.visible, height=hw, width=hw,
+        cfg=cfg_cw.binning(), opacity=g.effective_opacity()[:, 0])
+    ntx, nty = binning_lib.grid_dims(hw, hw, 16)
+    live_per_g = np.asarray(
+        (tile_flat.reshape(512, -1) < ntx * nty).sum(axis=1))
+    live_max = int(live_per_g.max())
+    assert live_max < 16, live_max  # the cull genuinely tightens the bound
+    cfg_tight = dataclasses.replace(base_cfg, walk_cells=25,
+                                    max_tiles_per_gaussian=live_max)
+    l2, out2, g2 = run(cfg_tight)
+    assert int(out2["overflow"]) == 0
+    np.testing.assert_array_equal(np.asarray(out2["comp_rgb"]),
+                                  np.asarray(out0["comp_rgb"]))
+    # image bit-identical; the per-gaussian grad reduction's padded length
+    # is N*M so a different M re-parenthesizes the segment sums — measured
+    # ~1e-9 abs (pure fp reassociation; values/pair sets identical)
+    for a, b in zip(jax.tree_util.tree_leaves(g2),
+                    jax.tree_util.tree_leaves(g0)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-7, rtol=1e-5)
+
+    # and M below live need must REPORT the loss, not hide it
+    cfg_over = dataclasses.replace(base_cfg, walk_cells=25,
+                                   max_tiles_per_gaussian=max(live_max - 2,
+                                                              1))
+    _, out3, _ = run(cfg_over)
+    assert int(out3["overflow"]) > 0
