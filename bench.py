@@ -77,7 +77,13 @@ def main():
         # sort u10x3-quantized (1/1023 — under half the reference eval's
         # uint8 quantum); gradients provably exact (test_rasterize.py),
         # acceptance semantics untouched (opacity/conic stay fp32).
-        pack_rgb=os.environ.get("GH_PACK_RGB", "1") == "1")
+        pack_rgb=os.environ.get("GH_PACK_RGB", "1") == "1",
+        # r5: reduce sorted pair-grads with the Pallas windowed one-hot MXU
+        # kernel instead of the 2.15 ms/step XLA segment_sum expansion
+        # (docs/TRACE_BENCH_STEP.md rank 3); span-guarded exact fallback.
+        # Default OFF until the same-process A/B (scripts/bench_segreduce.py)
+        # posts a win on the real chip.
+        segreduce_pallas=os.environ.get("GH_SEGREDUCE", "0") == "1")
     tgt = jnp.asarray(rng.uniform(0, 1, (hw, hw, 3)).astype(np.float32))
 
     def loss_fn(xyz, scaling, rotation, opacity1d, shs):
@@ -189,7 +195,17 @@ def bench_fit_step(iters: int = 10):
     from guassianhand_tpu.train.vgg import VGGLoss
 
     hw = 256
-    raster = RasterizeConfig(max_tiles_per_gaussian=8)
+    # flagship raster (configs/one_shot.yaml): r5 compact-walk enumeration —
+    # M bounds LIVE tile need (measured max 4 at this scene), overflow is an
+    # exact live count (the legacy M8 leg silently dropped 202 rect
+    # cells/step), and the pair sort halves its rows. A/B: 81.2 -> 70.5 ms.
+    # GH_BENCH_FIT_WALK=0 restores the legacy M8 enumeration.
+    if os.environ.get("GH_BENCH_FIT_WALK", "1") == "1":
+        raster = RasterizeConfig(max_tiles_per_gaussian=4,
+                                 pairs_per_gaussian=2.5, walk_cells=25,
+                                 pack_rgb=True)
+    else:
+        raster = RasterizeConfig(max_tiles_per_gaussian=8)
     dt = os.environ.get("GH_BENCH_FIT_DTYPE", "bfloat16") or None
     # narrow color_b (flagship default, configs/one_shot.yaml): bit-identical
     # fit (tests/test_model.py::test_narrow_color_b_equivalence), 16x less
@@ -198,6 +214,14 @@ def bench_fit_step(iters: int = 10):
     narrow = os.environ.get("GH_BENCH_FIT_NARROW", "1") == "1"
     cfg = OneShotConfig(compute_dtype=None if dt in ("", "none", "fp32")
                         else dt, narrow_color_b=narrow,
+                        # flash-style attention-core remat in the backbone
+                        # backward (bit-exact; configs/one_shot.yaml)
+                        backbone_attn_remat=os.environ.get(
+                            "GH_BENCH_FIT_REMAT", "1") == "1",
+                        # bf16 backbone softmax: quality-gated like the rest
+                        # of the bf16 pipeline (scripts/bf16_psnr_gate.py)
+                        backbone_softmax_fp32=os.environ.get(
+                            "GH_BENCH_FIT_SMFP32", "0") == "1",
                         renderer=RendererConfig(raster=raster))
     scene = SyntheticHandScene.build(n_vertices=778, subdivide=2, height=hw,
                                      width=hw)
@@ -227,19 +251,24 @@ def bench_fit_step(iters: int = 10):
         b["points"] = batch["points"] + 1e-6 * jnp.asarray(
             rng.normal(size=batch["points"].shape).astype(np.float32))
         varied.append(b)
-    params, opt_state, loss, _ = step_fn(params, opt_state, varied[0])
+    params, opt_state, loss, err = step_fn(params, opt_state, varied[0])
     jax.block_until_ready(loss)
     t0 = time.perf_counter()
     for b in varied:
-        params, opt_state, loss, _ = step_fn(params, opt_state, b)
+        params, opt_state, loss, err = step_fn(params, opt_state, b)
     jax.block_until_ready(loss)
     ms = 1e3 * (time.perf_counter() - t0) / iters
     return {"fit_step_ms": round(ms, 2),
             "fit_steps_per_s": round(1e3 / ms, 2),
+            "fit_overflow": int(err.get("overflow", jnp.zeros(())))
+            if err else 0,
             "fit_workload": f"{hw}^2, n={scene.n_points}, vgg=0.1, "
                             f"dtype={cfg.compute_dtype or 'float32'}, "
                             f"static_cache={int(static_cache)}, "
-                            f"narrow_cb={int(narrow)}"}
+                            f"narrow_cb={int(narrow)}, "
+                            f"walk={raster.walk_cells}/M{raster.max_tiles_per_gaussian}, "
+                            f"attn_remat={int(cfg.backbone_attn_remat)}, "
+                            f"sm_fp32={int(cfg.backbone_softmax_fp32)}"}
 
 
 if __name__ == "__main__":

@@ -90,6 +90,25 @@ class RasterizeConfig:
     # combining order — so this defaults ON; gradient oracle-parity tests
     # run green either way (GH_BWD_SEGSORT=0/1 overrides for A/B).
     grad_segsort: bool = True
+    # With grad_segsort: reduce the sorted pair-grad rows with the Pallas
+    # windowed one-hot MXU kernel (ops/segreduce_pallas.py) instead of the
+    # XLA segment_sum expansion (2.15 ms/step at the 512^2 bench, trace
+    # rank 3). Same reassociation equivalence class; a span-guarded
+    # lax.cond keeps the exact XLA path for pathological id gaps. Default
+    # False (core-op parity baseline); bench + flagship opt in via config.
+    segreduce_pallas: bool = False
+    # Kernel geometry for segreduce_pallas: each `segreduce_chunk`-column
+    # slice of the sorted pair table accumulates into a `segreduce_window`-
+    # lane output window. Larger windows tolerate sparser id distributions
+    # (e.g. fit scenes where densified-capacity slots leave dead-id gaps)
+    # at linear VPU cost in the one-hot build; the span check falls back to
+    # exact XLA when even that window is exceeded.
+    # Sweep on the real v5e (isolated, 49k/279k-pair bench shape):
+    # (512,2048) 1.58 ms, (256,512) 1.63, (512,512) 2.18, vs XLA 3.60 —
+    # the one-hot build costs PP*W VPU element-ops, so smaller windows and
+    # longer chunks both help while the spans still fit.
+    segreduce_window: int = 512
+    segreduce_chunk: int = 2048
     # Compact-walk enumeration (BinningConfig.walk_cells): walk this many
     # rect cells applying the opacity cull per cell, pack survivors into the
     # max_tiles_per_gaussian slots — M then bounds LIVE need, not rect need.
@@ -366,9 +385,20 @@ def _composite_bwd(height, width, cfg, residuals, cotangents):
         sorted_ops = jax.lax.sort(
             (gidx, *[pair_grads[i] for i in range(9)]),
             num_keys=1, is_stable=False)
-        seg = jax.ops.segment_sum(
-            jnp.stack(sorted_ops[1:], axis=1), sorted_ops[0],
-            num_segments=n + 1, indices_are_sorted=True)[:n]
+        if cfg.segreduce_pallas:
+            # windowed one-hot MXU kernel (ops/segreduce_pallas.py): same
+            # sorted-reduction contract, ~roofline instead of the 2.15 ms
+            # XLA expansion; span-guarded lax.cond falls back to the exact
+            # XLA path on pathological id gaps.
+            from .segreduce_pallas import segment_reduce_sorted
+            seg = segment_reduce_sorted(
+                sorted_ops[0], jnp.stack(sorted_ops[1:], axis=0), n,
+                window=cfg.segreduce_window, chunk=cfg.segreduce_chunk,
+                interpret=cfg.interpret)
+        else:
+            seg = jax.ops.segment_sum(
+                jnp.stack(sorted_ops[1:], axis=1), sorted_ops[0],
+                num_segments=n + 1, indices_are_sorted=True)[:n]
     else:
         seg = jax.ops.segment_sum(
             pair_grads[:9].T, gidx, num_segments=n + 1)[:n]

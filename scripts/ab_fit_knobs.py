@@ -49,6 +49,7 @@ def build(raster_kw, cfg_kw):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--arms", default=None)
     args = ap.parse_args()
 
     from guassianhand_tpu.utils.jaxcache import enable_persistent_cache
@@ -70,7 +71,7 @@ def main():
     # is the measured-tight floor. Legacy M9 (overflow-0 without the walk)
     # measured 86.37 ms (+5.9) and is out. Backbone arms probe the two
     # attention-backward HBM knobs (nn/transformer.py).
-    arms = [
+    all_arms = [
         ("base M8 b4.5", "0", {}, {}),
         ("walk25 M5 b2.75 pk", "0",
          {"max_tiles_per_gaussian": 5, "pairs_per_gaussian": 2.75,
@@ -82,7 +83,30 @@ def main():
         ("attn_remat", "0", {}, {"backbone_attn_remat": True}),
         ("sm_bf16+remat", "0", {}, {"backbone_softmax_fp32": False,
                                     "backbone_attn_remat": True}),
+        ("walk4+sm_bf16+remat", "0",
+         {"max_tiles_per_gaussian": 4, "pairs_per_gaussian": 2.5,
+          "walk_cells": 25, "pack_rgb": True},
+         {"backbone_softmax_fp32": False, "backbone_attn_remat": True}),
+        ("walk4+remat", "0",
+         {"max_tiles_per_gaussian": 4, "pairs_per_gaussian": 2.5,
+          "walk_cells": 25, "pack_rgb": True},
+         {"backbone_attn_remat": True}),
+        ("walk4+smr+segred", "0",
+         {"max_tiles_per_gaussian": 4, "pairs_per_gaussian": 2.5,
+          "walk_cells": 25, "pack_rgb": True, "segreduce_pallas": True,
+          "segreduce_window": 1024},
+         {"backbone_softmax_fp32": False, "backbone_attn_remat": True}),
     ]
+    # --arms lets a follow-up process rerun a SUBSET (comma-separated
+    # substrings) with one already-measured anchor arm for cross-process
+    # comparability — full-program recompiles after a source edit don't fit
+    # one timeout window otherwise.
+    if args.arms:
+        keys = [k.strip() for k in args.arms.split(",")]
+        arms = [a for a in all_arms
+                if any(k in a[0] for k in keys)]
+    else:
+        arms = all_arms
 
     print(f"[t] backend={jax.devices()[0].platform} iters={args.iters}",
           flush=True)

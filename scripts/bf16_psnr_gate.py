@@ -92,10 +92,18 @@ def main():
     # the r5 flagship candidate: bf16 + bf16 backbone softmax + attention-
     # core remat (the two knobs that cut the backbone backward 26.4 ->
     # 16.9 ms isolated; nn/transformer.py) — gated on the same 0.1 dB bar
+    # gate the candidate in the EXACT shipped flagship shape: walk raster
+    # (exactness-preserving at overflow 0), narrow color_b, remat + bf16
+    # softmax — so the number gated is the number users run.
+    import dataclasses as _dc
+    flagship_raster = _dc.replace(raster, max_tiles_per_gaussian=4,
+                                  pairs_per_gaussian=2.5, walk_cells=25,
+                                  pack_rgb=True)
     psm, mssm, _ = run_fit("bfloat16", args.steps, args.hw, scene, batch,
-                           raster, tag_extra="+smbf16+remat",
+                           flagship_raster, tag_extra="+smbf16+remat+walk",
                            backbone_softmax_fp32=False,
-                           backbone_attn_remat=True)
+                           backbone_attn_remat=True,
+                           narrow_color_b=True)
     delta = max(abs(p32 - p16), abs(p32 - psm))
     print(f"[gate] PSNR deltas: bf16 {abs(p32-p16):.4f} dB, "
           f"+smbf16+remat {abs(p32-psm):.4f} dB (gate: <= 0.1); "

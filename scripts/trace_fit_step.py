@@ -178,15 +178,19 @@ def build_bench_step():
                           pack_rgb=_pack_rgb_default())
     tgt = jnp.asarray(rng.uniform(0, 1, (hw, hw, 3)).astype(np.float32))
 
-    def loss_fn(xyz, scaling, rotation, opacity, shs):
-        g = Gaussians(xyz=xyz, opacity=opacity, rotation=rotation,
+    def loss_fn(xyz, scaling, rotation, opacity1d, shs):
+        # opacity crosses the jit boundary as (N,), exactly like bench.py:
+        # a (N, 1) f32 parameter gets a degenerate T(1,128) tiling and its
+        # entry + grad-output DMAs alone cost ~0.65 ms/step (the r5 trace's
+        # rank-6 copy-start came from this script lagging the bench).
+        g = Gaussians(xyz=xyz, opacity=opacity1d[:, None], rotation=rotation,
                       scaling=scaling, shs=shs)
         out = rasterize(g, cam, height=hw, width=hw, use_rgb=True, config=cfg)
         return (jnp.abs(out["comp_rgb"] - tgt).mean()
                 + (out["comp_mask"] ** 2).mean())
 
     step = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4)))
-    args = (gs.xyz, gs.scaling, gs.rotation, gs.opacity, gs.shs)
+    args = (gs.xyz, gs.scaling, gs.rotation, gs.opacity[:, 0], gs.shs)
     return step, args
 
 

@@ -45,8 +45,12 @@ def _build():
     from guassianhand_tpu.ops.rasterize import RasterizeConfig
     from guassianhand_tpu.render.renderer import EditConfig, RendererConfig
 
-    raster = RasterizeConfig(interpret=True, max_tiles_per_gaussian=8,
-                             pack_rgb=True)  # flagship render semantics
+    # flagship render semantics (configs/one_shot.yaml): pack_rgb + r5
+    # compact-walk enumeration. M=4 bounds LIVE tile need at this scene
+    # (checked below: overflow must be 0 or the goldens are meaningless).
+    raster = RasterizeConfig(interpret=True, max_tiles_per_gaussian=4,
+                             pairs_per_gaussian=2.5, walk_cells=25,
+                             pack_rgb=True)
     cfg = OneShotConfig(residual_map_hw=(256, 512),
                         compute_dtype="bfloat16",  # flagship default
                         renderer=RendererConfig(raster=raster))
@@ -74,6 +78,8 @@ def _build():
         out = jax.jit(
             lambda pp, bb: model.apply(pp, bb, HW, HW, edit=edit)
         )(params, batch)
+        assert int(np.asarray(out["overflow"]).sum()) == 0, \
+            "golden render dropped pairs — raise M before trusting anchors"
         return np.asarray(jnp.clip(out["comp_rgb"][0, 0], 0, 1))
 
     images = {}

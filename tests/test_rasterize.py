@@ -557,3 +557,64 @@ def test_compact_walk_enumeration_bit_identical():
                                                               1))
     _, out3, _ = run(cfg_over)
     assert int(out3["overflow"]) > 0
+
+
+def test_segment_reduce_sorted_matches_segment_sum():
+    """ops/segreduce_pallas.segment_reduce_sorted (r5): the windowed one-hot
+    MXU kernel computes the same per-segment sums as XLA's sorted
+    segment_sum (reassociation-level tolerance — the products are exact at
+    Precision.HIGHEST, only the addition order differs); a sparse id
+    distribution whose chunk spans exceed the window must take the exact
+    XLA fallback and match bit-for-bit."""
+    from guassianhand_tpu.ops.segreduce_pallas import segment_reduce_sorted
+
+    rng = np.random.RandomState(3)
+    for n, pp in [(1000, 4096), (300, 512), (7000, 40000)]:
+        ids = np.sort(rng.randint(0, n + 1, pp)).astype(np.int32)  # incl trash
+        vals = rng.normal(size=(9, pp)).astype(np.float32)
+        ref = jax.ops.segment_sum(jnp.asarray(vals).T, jnp.asarray(ids),
+                                  num_segments=n + 1,
+                                  indices_are_sorted=True)[:n]
+        got = segment_reduce_sorted(jnp.asarray(ids), jnp.asarray(vals), n,
+                                    interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    # spans >> window: the guard must reroute to the exact XLA path
+    ids = np.sort(rng.choice(np.arange(0, 200000, 97), 4096)).astype(np.int32)
+    vals = rng.normal(size=(9, 4096)).astype(np.float32)
+    ref = jax.ops.segment_sum(jnp.asarray(vals).T, jnp.asarray(ids),
+                              num_segments=200001,
+                              indices_are_sorted=True)[:200000]
+    got = segment_reduce_sorted(jnp.asarray(ids), jnp.asarray(vals), 200000,
+                                interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_segreduce_pallas_grad_parity():
+    """RasterizeConfig.segreduce_pallas: full backward through rasterize
+    with the Pallas segment reduction matches the XLA segment_sum path to
+    reassociation tolerance (same contract as grad_segsort itself)."""
+    cam = make_camera(96, 96)
+    g = make_gaussians(512, seed=11, scale_range=(0.01, 0.05))
+    tgt = jnp.asarray(np.random.RandomState(2).uniform(
+        0, 1, (96, 96, 3)).astype(np.float32))
+
+    def grads(cfg):
+        def loss(xyz, scaling, opacity):
+            gg = dataclasses.replace(g, xyz=xyz, scaling=scaling,
+                                     opacity=opacity)
+            out = rasterize(gg, cam, height=96, width=96, use_rgb=True,
+                            config=cfg)
+            return (jnp.abs(out["comp_rgb"] - tgt).mean()
+                    + (out["comp_mask"] ** 2).mean())
+
+        return jax.grad(loss, argnums=(0, 1, 2))(g.xyz, g.scaling, g.opacity)
+
+    g_xla = grads(RasterizeConfig(interpret=True, max_tiles_per_gaussian=8))
+    g_pal = grads(RasterizeConfig(interpret=True, max_tiles_per_gaussian=8,
+                                  segreduce_pallas=True))
+    for a, b, name in zip(g_xla, g_pal, ("xyz", "scaling", "opacity")):
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-12)
+        assert rel < 1e-5, (name, rel)
