@@ -79,11 +79,12 @@ def main():
         # acceptance semantics untouched (opacity/conic stay fp32).
         pack_rgb=os.environ.get("GH_PACK_RGB", "1") == "1",
         # r5: reduce sorted pair-grads with the Pallas windowed one-hot MXU
-        # kernel instead of the 2.15 ms/step XLA segment_sum expansion
-        # (docs/TRACE_BENCH_STEP.md rank 3); span-guarded exact fallback.
-        # Default OFF until the same-process A/B (scripts/bench_segreduce.py)
-        # posts a win on the real chip.
-        segreduce_pallas=os.environ.get("GH_SEGREDUCE", "0") == "1")
+        # kernel instead of the XLA segment_sum expansion (trace rank 3).
+        # Same-process A/B (scripts/bench_segreduce.py, real v5e): 14.43 ->
+        # 12.41 ms/step (+16%), gradient norms at reassociation level
+        # (1e-7). Span-guarded lax.cond falls back to the exact XLA path on
+        # id distributions the window can't cover (correct, just slower).
+        segreduce_pallas=os.environ.get("GH_SEGREDUCE", "1") == "1")
     tgt = jnp.asarray(rng.uniform(0, 1, (hw, hw, 3)).astype(np.float32))
 
     def loss_fn(xyz, scaling, rotation, opacity1d, shs):

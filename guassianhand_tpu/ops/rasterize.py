@@ -103,12 +103,14 @@ class RasterizeConfig:
     # (e.g. fit scenes where densified-capacity slots leave dead-id gaps)
     # at linear VPU cost in the one-hot build; the span check falls back to
     # exact XLA when even that window is exceeded.
-    # Sweep on the real v5e (isolated, 49k/279k-pair bench shape):
-    # (512,2048) 1.58 ms, (256,512) 1.63, (512,512) 2.18, vs XLA 3.60 —
-    # the one-hot build costs PP*W VPU element-ops, so smaller windows and
-    # longer chunks both help while the spans still fit.
-    segreduce_window: int = 512
-    segreduce_chunk: int = 2048
+    # Geometry measured IN-PIPELINE at the 512^2 bench (one process,
+    # scripts/bench_segreduce.py, real v5e): (256,512) engages on the real
+    # culled-scene id distribution and wins 14.43 -> 12.41 ms/step (+16%);
+    # (512,2048) trips the span guard there (max real span 727) and falls
+    # back, i.e. correct but no win. The one-hot build costs PP*W VPU
+    # element-ops, so the smallest window that fits the spans wins.
+    segreduce_window: int = 256
+    segreduce_chunk: int = 512
     # Compact-walk enumeration (BinningConfig.walk_cells): walk this many
     # rect cells applying the opacity cull per cell, pack survivors into the
     # max_tiles_per_gaussian slots — M then bounds LIVE need, not rect need.

@@ -134,8 +134,8 @@ def _pallas_reduce(ids_sorted, vals, n: int, *, w: int, c: int,
     return out.reshape(r, n_pad)[:, :n].T
 
 
-def segment_reduce_sorted(ids_sorted, vals, n: int, *, window: int = 512,
-                          chunk: int = 2048, interpret: bool = False):
+def segment_reduce_sorted(ids_sorted, vals, n: int, *, window: int = 256,
+                          chunk: int = 512, interpret: bool = False):
     """Per-segment sums of ``vals`` (R, PP) over sorted ``ids_sorted`` (PP,).
 
     Ids must be ascending; ids >= n (the trash segment) are dropped.
