@@ -93,8 +93,7 @@ def main():
          {"backbone_attn_remat": True}),
         ("walk4+smr+segred", "0",
          {"max_tiles_per_gaussian": 4, "pairs_per_gaussian": 2.5,
-          "walk_cells": 25, "pack_rgb": True, "segreduce_pallas": True,
-          "segreduce_window": 1024},
+          "walk_cells": 25, "pack_rgb": True, "segreduce_pallas": True},
          {"backbone_softmax_fp32": False, "backbone_attn_remat": True}),
     ]
     # --arms lets a follow-up process rerun a SUBSET (comma-separated
