@@ -95,6 +95,15 @@ def main():
          {"max_tiles_per_gaussian": 4, "pairs_per_gaussian": 2.5,
           "walk_cells": 25, "pack_rgb": True, "segreduce_pallas": True},
          {"backbone_softmax_fp32": False, "backbone_attn_remat": True}),
+        ("walk4+smr+chunk512", "0",
+         {"max_tiles_per_gaussian": 4, "pairs_per_gaussian": 2.5,
+          "walk_cells": 25, "pack_rgb": True},
+         {"backbone_softmax_fp32": False, "backbone_attn_remat": True,
+          "attn_chunk": 512}),
+        ("walk4b2.25+smr", "0",
+         {"max_tiles_per_gaussian": 4, "pairs_per_gaussian": 2.25,
+          "walk_cells": 25, "pack_rgb": True},
+         {"backbone_softmax_fp32": False, "backbone_attn_remat": True}),
     ]
     # --arms lets a follow-up process rerun a SUBSET (comma-separated
     # substrings) with one already-measured anchor arm for cross-process
