@@ -120,7 +120,11 @@ def main(argv=None):
         eval_batches = None  # loaded lazily below
 
     model = OneShotAvatarModel(cfg=cfg.model)
-    params = model.init(jax.random.PRNGKey(cfg.seed), batch_fn(0), hw_h, hw_w)
+    # jit the init: eager init on the remote-TPU backend dispatches every
+    # layer op as its own tunnel round-trip and stalls for tens of minutes
+    # at the full model size (measured r5); one compiled program is fast.
+    params = jax.jit(model.init, static_argnums=(2, 3))(
+        jax.random.PRNGKey(cfg.seed), batch_fn(0), hw_h, hw_w)
     if cfg.pretrained and os.path.exists(cfg.pretrained):
         params = ckpt_lib.load_params_partial(cfg.pretrained, params)
         print(f"loaded pretrained weights from {cfg.pretrained}")

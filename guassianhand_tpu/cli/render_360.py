@@ -50,7 +50,9 @@ def main(argv=None):
                             with_target=False)
 
     model = OneShotAvatarModel(cfg=cfg.model)
-    params = model.init(jax.random.PRNGKey(cfg.seed), batch, hw_h, hw_w)
+    params = jax.jit(model.init, static_argnums=(2, 3))(
+        jax.random.PRNGKey(cfg.seed), batch, hw_h, hw_w)  # jitted: eager
+    # init stalls on the remote-TPU backend (see fit_one_shot.py)
     if args.ckpt and os.path.exists(args.ckpt):
         restored = ckpt_lib.load_checkpoint(
             args.ckpt, {"params": params, "opt_state": None, "step": 0})
