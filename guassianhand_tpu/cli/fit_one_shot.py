@@ -135,6 +135,10 @@ def main(argv=None):
     def model_apply(p, b):
         return model.apply(p, b, hw_h, hw_w)
 
+    # jitted forward for vis/eval renders — raw model.apply dispatches
+    # eagerly (one tunnel round-trip per op on the remote-TPU backend)
+    jit_apply = jax.jit(model_apply)
+
     vgg = VGGLoss(cfg.vgg_weights) if cfg.fit.weights.vgg > 0 else None
     if vgg is not None and not vgg.pretrained:
         print("warning: VGG19 weights unavailable; using fixed random "
@@ -172,7 +176,7 @@ def main(argv=None):
             if i % 10 == 0 or i == n_steps - 1:
                 logger.log(i, {"loss": float(loss),
                                **{k: float(v) for k, v in err.items()}})
-                out = model_apply(params, batch)
+                out = jit_apply(params, batch)
                 saver.save_rgb(f"vis/step{i:04d}_pred.png",
                                np.asarray(out["comp_rgb"][0, 0]))
                 saver.save_rgb(f"vis/step{i:04d}_ref.png",
@@ -180,7 +184,7 @@ def main(argv=None):
         ckpt_lib.save_checkpoint(
             os.path.join(ckpt_dir, f"model-{n_steps:05d}.ckpt"), params,
             opt_state, n_steps)
-        out = model_apply(params, batch_fn(0))
+        out = jit_apply(params, batch_fn(0))
         gs0 = jax.tree_util.tree_map(lambda x: x[0], out["3dgs"])
         saver.save_ply("3dgs/fitted.ply", gs0)
         print(f"fit done; artifacts in {run_dir}")
@@ -202,7 +206,6 @@ def main(argv=None):
     if eval_batches is None:
         eval_batches = (dataset.load_sample(i) for i in range(len(dataset)))
     import time
-    jit_apply = jax.jit(model_apply)
     t_eval0 = time.perf_counter()
     for i, batch in enumerate(eval_batches):
         out = jit_apply(params, batch)
