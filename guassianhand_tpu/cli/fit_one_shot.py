@@ -232,6 +232,10 @@ def main(argv=None):
                 lpips_metric, jnp.asarray(pq)[None].astype(jnp.float32),
                 jnp.asarray(tq)[None].astype(jnp.float32)))
         results.append(scores)
+        if i % 50 == 0:
+            print(f"[eval] frame {i}: psnr {scores['psnr']:.2f} "
+                  f"({time.perf_counter() - t_eval0:.0f}s elapsed)",
+                  flush=True)
         if not args.no_images:
             saver.save_rgb(f"images/frame{i:04d}_pred.png", pred)
             saver.save_rgb(f"images/frame{i:04d}_gt.png", tgt)

@@ -175,7 +175,11 @@ def build_bench_step():
     # +1.9% A/B) so a default trace decomposes the same config as the
     # headline number; GH_PACK_RGB=0 traces the exact-color variant.
     cfg = RasterizeConfig(max_tiles_per_gaussian=9, pairs_per_gaussian=3.0,
-                          pack_rgb=_pack_rgb_default())
+                          pack_rgb=_pack_rgb_default(),
+                          # match bench.py's shipped default (r5): Pallas
+                          # windowed one-hot segment reduction
+                          segreduce_pallas=os.environ.get(
+                              "GH_SEGREDUCE", "1") == "1")
     tgt = jnp.asarray(rng.uniform(0, 1, (hw, hw, 3)).astype(np.float32))
 
     def loss_fn(xyz, scaling, rotation, opacity1d, shs):
